@@ -1,0 +1,12 @@
+from .compose import compose, load_yaml, merge, parse_overrides, to_container
+from .registry import instantiate, locate
+
+__all__ = [
+    "compose",
+    "load_yaml",
+    "merge",
+    "parse_overrides",
+    "to_container",
+    "instantiate",
+    "locate",
+]

@@ -1,0 +1,168 @@
+"""Hydra-like YAML config-group composition, dependency-free.
+
+The reference composes its run config from a tree of YAML groups rooted at
+``configs/default.yaml`` (reference: configs/default.yaml:1-9, run.py:15) with
+CLI group selections (``runner=mgfn``) and dotted value overrides. This module
+re-implements that composition semantics on plain ``dict``s + PyYAML:
+
+- a root YAML may contain a ``defaults`` list of ``{group: choice}`` entries;
+  each entry loads ``<config_dir>/<group>/<choice>.yaml`` into ``cfg[group]``
+  (nested groups like ``trainer/callbacks`` land at ``cfg.trainer.callbacks``).
+- ``_self_`` in the defaults list positions the root file's own keys.
+- CLI overrides: ``group=choice`` re-selects a group file;
+  ``a.b.c=value`` deep-sets a value (YAML-parsed, so ``lr=1e-3`` is a float);
+  ``+a.b=value`` adds a new key.
+
+Choices are recorded in ``cfg["_choices_"]`` so run names can interpolate them
+(the reference's WandB run name does the same via Hydra runtime choices,
+reference: configs/trainer/logger/wandb.yaml:3).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import yaml
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return data or {}
+
+
+def merge(base: Dict[str, Any], other: Dict[str, Any]) -> Dict[str, Any]:
+    """Deep-merge ``other`` into a copy of ``base`` (other wins)."""
+    out = copy.deepcopy(base)
+    for key, val in other.items():
+        if key in out and isinstance(out[key], dict) and isinstance(val, dict):
+            out[key] = merge(out[key], val)
+        else:
+            out[key] = copy.deepcopy(val)
+    return out
+
+
+def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, allow_new: bool) -> None:
+    keys = dotted.split(".")
+    node = cfg
+    for key in keys[:-1]:
+        if key not in node or not isinstance(node[key], dict):
+            if not allow_new and key not in node:
+                raise KeyError(
+                    f"override path {dotted!r}: {key!r} not in config "
+                    f"(use +{dotted}=... to add new keys)"
+                )
+            node[key] = node.get(key) if isinstance(node.get(key), dict) else {}
+        node = node[key]
+    last = keys[-1]
+    if not allow_new and last not in node:
+        raise KeyError(
+            f"override key {dotted!r} does not exist "
+            f"(use +{dotted}=... to add new keys)"
+        )
+    node[last] = value
+
+
+def parse_overrides(args: Iterable[str]) -> Tuple[Dict[str, str], List[Tuple[str, Any, bool]]]:
+    """Split CLI args into group selections and value overrides.
+
+    Returns ``(group_choices, value_overrides)`` where value_overrides are
+    ``(dotted_key, parsed_value, allow_new)`` tuples.
+    """
+    groups: Dict[str, str] = {}
+    values: List[Tuple[str, Any, bool]] = []
+    for arg in args:
+        if "=" not in arg:
+            raise ValueError(f"override {arg!r} must look like key=value")
+        key, _, raw = arg.partition("=")
+        allow_new = key.startswith("+")
+        key = key.lstrip("+")
+        value = yaml.safe_load(raw) if raw != "" else None
+        if "." not in key and not allow_new:
+            # group selection (e.g. runner=mgfn); resolved against config dir
+            groups[key] = str(raw)
+        else:
+            values.append((key, value, allow_new))
+    return groups, values
+
+
+def _load_group(config_dir: str, group: str, choice: str) -> Dict[str, Any]:
+    path = os.path.join(config_dir, group, f"{choice}.yaml")
+    if not os.path.exists(path):
+        available = []
+        gdir = os.path.join(config_dir, group)
+        if os.path.isdir(gdir):
+            available = sorted(
+                os.path.splitext(f)[0] for f in os.listdir(gdir) if f.endswith(".yaml")
+            )
+        raise FileNotFoundError(
+            f"config group {group!r} has no choice {choice!r}; available: {available}"
+        )
+    return load_yaml(path)
+
+
+def _set_group(cfg: Dict[str, Any], group: str, content: Dict[str, Any]) -> None:
+    """Place a group file's content at the nested path given by ``group``."""
+    keys = group.split("/")
+    node = cfg
+    for key in keys[:-1]:
+        node = node.setdefault(key, {})
+    existing = node.get(keys[-1])
+    if isinstance(existing, dict) and isinstance(content, dict):
+        node[keys[-1]] = merge(existing, content)
+    else:
+        node[keys[-1]] = content
+
+
+def compose(
+    config_dir: str,
+    config_name: str = "default",
+    overrides: Optional[Iterable[str]] = None,
+) -> Dict[str, Any]:
+    """Compose the run config exactly like the reference's Hydra root.
+
+    Reference semantics: configs/default.yaml declares a defaults list whose
+    group choices may be re-selected from the CLI; remaining CLI args deep-set
+    values (reference: run.py:15-16 + configs/default.yaml:1-9).
+    """
+    root = load_yaml(os.path.join(config_dir, f"{config_name}.yaml"))
+    defaults = root.pop("defaults", [])
+    group_over, value_over = parse_overrides(overrides or [])
+
+    cfg: Dict[str, Any] = {}
+    choices: Dict[str, str] = {}
+    self_done = False
+    for entry in defaults:
+        if entry == "_self_":
+            cfg = merge(cfg, root)
+            self_done = True
+            continue
+        if isinstance(entry, str):
+            group, choice = entry, "default"
+        else:
+            (group, choice), = entry.items()
+        choice = group_over.pop(group, choice)
+        if choice in (None, "null", "none"):
+            continue
+        choices[group] = choice
+        _set_group(cfg, group, _load_group(config_dir, group, str(choice)))
+    if not self_done:
+        cfg = merge(cfg, root)
+
+    # group selections not present in the defaults list are still honored
+    for group, choice in group_over.items():
+        choices[group] = choice
+        _set_group(cfg, group, _load_group(config_dir, group, choice))
+
+    for dotted, value, allow_new in value_over:
+        _deep_set(cfg, dotted, value, allow_new)
+
+    cfg["_choices_"] = choices
+    return cfg
+
+
+def to_container(cfg: Any) -> Any:
+    """Plain-dict view (we already are plain dicts; kept for API parity)."""
+    return copy.deepcopy(cfg)
