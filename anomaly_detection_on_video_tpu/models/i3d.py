@@ -1,0 +1,322 @@
+"""I3D (3D-ResNet50) feature extractors, TPU-native.
+
+Re-design of the reference's two interchangeable backbones
+(reference: src/i3d.py):
+
+- ``i3res50``      — the hand-written ``I3Res50`` ("tushar-n-baseline",
+  src/i3d.py:198-318): stem Conv3d 3->64 k(5,7,7) s(2,2,2), MaxPool
+  k(2,3,3) s(2,2,2), temporal MaxPool k(2,1,1) after stage 1, four
+  bottleneck stages [3,4,6,3] with per-block temporal kernel patterns, and a
+  global average-pool head emitting 2048-d clip features. This is the
+  variant whose features ship in the ``tushar-n`` revision of the feature
+  hub (reference: configs/data/default.yaml:5).
+- ``i3d_8x8_r50``  — the pytorchvideo ``create_resnet`` topology the
+  reference builds at src/i3d.py:339-350 (stem k(5,7,7) s(1,2,2), stem
+  MaxPool k(1,3,3) s(1,2,2) p(0,1,1), temporal MaxPool k(2,1,1) after
+  stage 1, conv_a temporal kernels cycling per block, AvgPool(4,7,7) +
+  global-average head). pytorchvideo is not importable in this environment;
+  the topology is reconstructed from pytorchvideo 0.1.3 defaults and the
+  reference's explicit overrides, and is validated by shape tests.
+
+TPU-first choices: channels-last NDTHWC layout (XLA TPU's preferred conv
+layout), BatchNorm always in inference mode with stored statistics (the
+reference only ever runs these models under ``model.eval()``,
+extract_features.py:36-37), one big batch over (clips x 10 crops) instead of
+the reference's per-crop Python loop (extract_features.py:85-89), and a
+configurable compute dtype (bfloat16 for MXU throughput, float32 for
+bit-parity extraction).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv3D (no bias) + inference-mode BatchNorm, fused by XLA."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (0, 0, 0)
+    use_bn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            kernel_size=self.kernel,
+            strides=self.strides,
+            padding=[(p, p) for p in self.padding],
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=True,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return x
+
+
+class NonLocalBlock(nn.Module):
+    """Embedded-Gaussian non-local block (reference: src/i3d.py:124-195).
+
+    theta from x; phi/g from spatially max-pooled x (k(1,2,2) s(1,2,2));
+    scaled softmax attention over flattened THW positions; output conv + BN
+    + residual. Default-off in the baseline (use_nl=False, src/i3d.py:338).
+    """
+
+    dim_inner: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        residual = x
+        dim_out = x.shape[-1]
+        conv = lambda feats, name: nn.Conv(
+            feats, kernel_size=(1, 1, 1), use_bias=True, dtype=self.dtype, name=name
+        )
+        mp = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2), padding="VALID")
+        theta = conv(self.dim_inner, "theta")(x)
+        phi = conv(self.dim_inner, "phi")(mp)
+        g = conv(self.dim_inner, "g")(mp)
+
+        batch = x.shape[0]
+        t_shape = theta.shape
+        theta = theta.reshape(batch, -1, self.dim_inner)  # (B, THW, C)
+        phi = phi.reshape(batch, -1, self.dim_inner)  # (B, thw, C)
+        g = g.reshape(batch, -1, self.dim_inner)
+
+        attn = jnp.einsum(
+            "bic,bjc->bij", theta, phi, preferred_element_type=jnp.float32
+        ) * (self.dim_inner ** -0.5)
+        attn = nn.softmax(attn, axis=-1).astype(theta.dtype)
+        out = jnp.einsum("bij,bjc->bic", attn, g)
+        out = out.reshape(t_shape)
+        out = conv(dim_out, "out")(out)
+        out = nn.BatchNorm(
+            use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn"
+        )(out)
+        return out + residual
+
+
+class Bottleneck(nn.Module):
+    """3D bottleneck block (reference: src/i3d.py:60-121).
+
+    conv1 k(1+2*temp_conv,1,1) temporal + conv2 k(1,3,3) spatial + conv3 1x1x1
+    with BN/ReLU; projection shortcut when shape changes. ``conv_a_stride``
+    places the temporal stride on conv1 (both reference variants).
+    ``conv_b_stride`` places the spatial stride on conv2.
+    """
+
+    planes: int
+    spatial_stride: int = 1
+    temp_kernel: int = 3  # conv1 temporal kernel size (1 or 3)
+    temp_stride: int = 1
+    has_proj: bool = False
+    use_nl: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        tk = self.temp_kernel
+        out = ConvBN(
+            self.planes,
+            kernel=(tk, 1, 1),
+            strides=(self.temp_stride, 1, 1),
+            padding=(tk // 2, 0, 0),
+            dtype=self.dtype,
+            name="branch_a",
+        )(x)
+        out = nn.relu(out)
+        out = ConvBN(
+            self.planes,
+            kernel=(1, 3, 3),
+            strides=(1, self.spatial_stride, self.spatial_stride),
+            padding=(0, 1, 1),
+            dtype=self.dtype,
+            name="branch_b",
+        )(out)
+        out = nn.relu(out)
+        out = ConvBN(
+            self.planes * 4, kernel=(1, 1, 1), dtype=self.dtype, name="branch_c"
+        )(out)
+
+        if self.has_proj:
+            residual = ConvBN(
+                self.planes * 4,
+                kernel=(1, 1, 1),
+                strides=(self.temp_stride, self.spatial_stride, self.spatial_stride),
+                dtype=self.dtype,
+                name="proj",
+            )(x)
+        else:
+            residual = x
+
+        out = nn.relu(out + residual)
+        if self.use_nl:
+            out = NonLocalBlock(dim_inner=self.planes * 2, dtype=self.dtype)(out)
+        return out
+
+
+class I3DResNet(nn.Module):
+    """Generic 3D-ResNet50 feature extractor covering both reference variants.
+
+    Input ``(B, T, H, W, 3)`` float (standardized pixels), output ``(B, 2048)``
+    clip features (the reference squeezes (B, 2048, 1, 1, 1),
+    extract_features.py:95-102).
+
+    Stage config fields mirror the reference's ``_make_layer`` parameters
+    (src/i3d.py:253-300) generalized to also express the pytorchvideo
+    topology: per-stage lists of per-block temporal kernels and strides.
+    """
+
+    stem_kernel: Tuple[int, int, int] = (5, 7, 7)
+    stem_stride: Tuple[int, int, int] = (2, 2, 2)
+    stem_pool_kernel: Tuple[int, int, int] = (2, 3, 3)
+    stem_pool_stride: Tuple[int, int, int] = (2, 2, 2)
+    stem_pool_padding: Tuple[int, int, int] = (0, 0, 0)
+    # per stage: (planes, n_blocks, spatial_stride, temporal kernels per block,
+    #            temporal strides per block)
+    stages: Sequence[Tuple[int, int, int, Tuple[int, ...], Tuple[int, ...]]] = (
+        (64, 3, 1, (3, 3, 3), (1, 1, 1)),
+        (128, 4, 2, (3, 1, 3, 1), (1, 1, 1, 1)),
+        (256, 6, 2, (3, 1, 3, 1, 3, 1), (1, 1, 1, 1, 1, 1)),
+        (512, 3, 2, (1, 3, 1), (1, 1, 1)),
+    )
+    # temporal max-pool k(2,1,1) s(2,1,1) applied after this stage index (or None)
+    pool_after_stage: Optional[int] = 0
+    # AvgPool3d kernel before global average (pytorchvideo head); None = direct
+    head_pool_kernel: Optional[Tuple[int, int, int]] = None
+    nonlocal_stages: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = ConvBN(
+            64,
+            kernel=self.stem_kernel,
+            strides=self.stem_stride,
+            padding=tuple(k // 2 for k in self.stem_kernel),
+            dtype=self.dtype,
+            name="stem",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x,
+            self.stem_pool_kernel,
+            strides=self.stem_pool_stride,
+            padding=[(p, p) for p in self.stem_pool_padding],
+        )
+
+        in_planes = 64
+        for stage_idx, (planes, blocks, stride, tks, tss) in enumerate(self.stages):
+            for block_idx in range(blocks):
+                first = block_idx == 0
+                has_proj = first and (
+                    stride != 1 or in_planes != planes * 4 or tss[0] != 1
+                )
+                x = Bottleneck(
+                    planes=planes,
+                    spatial_stride=stride if first else 1,
+                    temp_kernel=tks[block_idx],
+                    temp_stride=tss[block_idx] if first else 1,
+                    has_proj=has_proj,
+                    use_nl=stage_idx in self.nonlocal_stages and block_idx % 2 == 1,
+                    dtype=self.dtype,
+                    name=f"stage{stage_idx + 1}_block{block_idx}",
+                )(x)
+            in_planes = planes * 4
+            if self.pool_after_stage == stage_idx:
+                x = nn.max_pool(x, (2, 1, 1), strides=(2, 1, 1), padding="VALID")
+
+        if self.head_pool_kernel is not None:
+            x = nn.avg_pool(
+                x, self.head_pool_kernel, strides=(1, 1, 1), padding="VALID"
+            )
+        # AdaptiveAvgPool3d((1,1,1)) -> (B, 2048)
+        x = jnp.mean(x, axis=(1, 2, 3))
+        # features always leave in >= float32 (f32 under bf16 compute)
+        return x.astype(jnp.promote_types(self.dtype, jnp.float32))
+
+
+def i3res50(dtype: Dtype = jnp.float32, use_nl: bool = False) -> I3DResNet:
+    """The "tushar-n-baseline" I3Res50 (reference: src/i3d.py:198-318,338)."""
+    return I3DResNet(
+        stem_kernel=(5, 7, 7),
+        stem_stride=(2, 2, 2),
+        stem_pool_kernel=(2, 3, 3),
+        stem_pool_stride=(2, 2, 2),
+        stem_pool_padding=(0, 0, 0),
+        stages=(
+            (64, 3, 1, (3, 3, 3), (1, 1, 1)),
+            (128, 4, 2, (3, 1, 3, 1), (1, 1, 1, 1)),
+            (256, 6, 2, (3, 1, 3, 1, 3, 1), (1, 1, 1, 1, 1, 1)),
+            (512, 3, 2, (1, 3, 1), (1, 1, 1)),
+        ),
+        pool_after_stage=0,
+        head_pool_kernel=None,
+        nonlocal_stages=(1, 2) if use_nl else (),
+        dtype=dtype,
+    )
+
+
+def i3d_8x8_r50(dtype: Dtype = jnp.float32) -> I3DResNet:
+    """The pytorchvideo-style i3d_8x8_r50 (reference: src/i3d.py:339-350).
+
+    Reconstructed from pytorchvideo 0.1.3 ``create_resnet`` defaults plus the
+    reference's overrides: stem conv k(5,7,7) s(1,2,2); stem MaxPool k(1,3,3)
+    s(1,2,2) p(0,1,1); stage1 MaxPool k(2,1,1); conv_a temporal kernels
+    (3,1,1) cycling [(3,),(3,1),(3,1),(1,3)] per stage; head AvgPool(4,7,7)
+    then global average (the reference's create_res_pooler,
+    src/i3d.py:35-57).
+    """
+    return I3DResNet(
+        stem_kernel=(5, 7, 7),
+        stem_stride=(1, 2, 2),
+        stem_pool_kernel=(1, 3, 3),
+        stem_pool_stride=(1, 2, 2),
+        stem_pool_padding=(0, 1, 1),
+        stages=(
+            (64, 3, 1, (3, 3, 3), (1, 1, 1)),
+            (128, 4, 2, (3, 1, 3, 1), (1, 1, 1, 1)),
+            (256, 6, 2, (3, 1, 3, 1, 3, 1), (1, 1, 1, 1, 1, 1)),
+            (512, 3, 2, (1, 3, 1), (1, 1, 1)),
+        ),
+        pool_after_stage=0,
+        head_pool_kernel=(4, 7, 7),
+        nonlocal_stages=(),
+        dtype=dtype,
+    )
+
+
+MODEL_ZOO = {
+    "tushar-n-baseline": i3res50,
+    "i3d_8x8_r50": i3d_8x8_r50,
+}
+
+
+def build_i3d_feature_extractor(
+    model_name: str = "tushar-n-baseline", dtype: Dtype = jnp.float32
+) -> I3DResNet:
+    """Factory mirroring the reference API (src/i3d.py:332-364).
+
+    Weight loading is separate: use utils/convert.py to convert a torch
+    state dict and training/checkpoints.py to restore orbax checkpoints.
+    """
+    if model_name not in MODEL_ZOO:
+        raise AttributeError(
+            f"unknown I3D variant {model_name!r}; options: {sorted(MODEL_ZOO)}"
+        )
+    return MODEL_ZOO[model_name](dtype=dtype)

@@ -1,0 +1,11 @@
+from .convert import (
+    convert_i3res50_state_dict,
+    convert_mgfn_state_dict,
+    convert_official_mgfn_state_dict,
+)
+
+__all__ = [
+    "convert_i3res50_state_dict",
+    "convert_mgfn_state_dict",
+    "convert_official_mgfn_state_dict",
+]

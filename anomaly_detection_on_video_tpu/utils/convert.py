@@ -1,0 +1,247 @@
+"""PyTorch checkpoint -> JAX pytree converters.
+
+Plays the role of the reference's checkpoint-interchange layer: the
+weight-file loads at src/i3d.py:354-359 and the official-MGFN key remapper
+scripts/convert_official_to_hf.py. Works on plain ``{name: numpy array}``
+state dicts so torch is only needed to *read* ``.pt`` files, not here.
+
+Layout rules:
+- torch Conv3d weight (O, I, T, H, W)  -> flax (T, H, W, I, O)
+- torch Conv1d weight (O, I, K)        -> flax (K, I, O)
+- torch Linear weight (O, I)           -> flax (I, O)
+- BatchNorm weight/bias -> scale/bias; running_mean/var -> batch_stats
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(tensor: Any) -> np.ndarray:
+    if hasattr(tensor, "detach"):
+        tensor = tensor.detach().cpu().numpy()
+    return np.asarray(tensor)
+
+
+def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _conv3d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _conv1d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 1, 0))
+
+
+def convert_i3res50_state_dict(
+    state_dict: Mapping[str, Any]
+) -> Dict[str, Any]:
+    """Convert a tushar-n-baseline I3Res50 torch state dict to flax variables.
+
+    Torch names follow the reference module tree (src/i3d.py:198-318):
+    ``conv1/bn1``, ``layer{L}.{i}.{conv,bn}{1,2,3}``, ``.downsample.{0,1}``,
+    ``.nl.{theta,phi,g,out,bn}``. Returns ``{"params": ..., "batch_stats": ...}``
+    matching models/i3d.py module names.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_conv(flax_prefix: Tuple[str, ...], w: np.ndarray) -> None:
+        _set(params, flax_prefix + ("conv", "kernel"), _conv3d(w))
+
+    def put_bn(flax_prefix: Tuple[str, ...], torch_prefix: str) -> None:
+        _set(params, flax_prefix + ("bn", "scale"), _np(state_dict[torch_prefix + ".weight"]))
+        _set(params, flax_prefix + ("bn", "bias"), _np(state_dict[torch_prefix + ".bias"]))
+        _set(stats, flax_prefix + ("bn", "mean"), _np(state_dict[torch_prefix + ".running_mean"]))
+        _set(stats, flax_prefix + ("bn", "var"), _np(state_dict[torch_prefix + ".running_var"]))
+
+    put_conv(("stem",), _np(state_dict["conv1.weight"]))
+    put_bn(("stem",), "bn1")
+
+    branch_of = {"1": "branch_a", "2": "branch_b", "3": "branch_c"}
+    block_re = re.compile(r"^layer(\d)\.(\d+)\.(.*)$")
+    for key in state_dict:
+        m = block_re.match(key)
+        if not m:
+            continue
+        stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        prefix = (f"stage{stage}_block{block}",)
+        cm = re.match(r"^conv([123])\.weight$", rest)
+        if cm:
+            put_conv(prefix + (branch_of[cm.group(1)],), _np(state_dict[key]))
+            continue
+        bm = re.match(r"^bn([123])\.weight$", rest)
+        if bm:
+            put_bn(prefix + (branch_of[bm.group(1)],), f"layer{stage}.{block}.bn{bm.group(1)}")
+            continue
+        if rest == "downsample.0.weight":
+            put_conv(prefix + ("proj",), _np(state_dict[key]))
+        elif rest == "downsample.1.weight":
+            put_bn(prefix + ("proj",), f"layer{stage}.{block}.downsample.1")
+        elif rest.startswith("nl."):
+            nm = re.match(r"^nl\.(theta|phi|g|out)\.(weight|bias)$", rest)
+            nl = prefix + ("NonLocalBlock_0",)
+            if nm:
+                name, kind = nm.groups()
+                if kind == "weight":
+                    _set(params, nl + (name, "kernel"), _conv3d(_np(state_dict[key])))
+                else:
+                    _set(params, nl + (name, "bias"), _np(state_dict[key]))
+            elif rest == "nl.bn.weight":
+                _set(params, nl + ("bn", "scale"), _np(state_dict[key]))
+                _set(params, nl + ("bn", "bias"), _np(state_dict[f"layer{stage}.{block}.nl.bn.bias"]))
+                _set(stats, nl + ("bn", "mean"), _np(state_dict[f"layer{stage}.{block}.nl.bn.running_mean"]))
+                _set(stats, nl + ("bn", "var"), _np(state_dict[f"layer{stage}.{block}.nl.bn.running_var"]))
+
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# MGFN converters
+# ---------------------------------------------------------------------------
+
+def convert_mgfn_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert the reference's HF-style MGFN state dict to flax variables.
+
+    Torch names follow src/models/mgfn/modeling_mgfn.py module paths, e.g.
+    ``backbone.amplifier.to_tokens.weight``,
+    ``backbone.layers.{s}.{b}.scc.{weight,bias}``,
+    ``backbone.layers.{s}.{b}.attention.{norm,to_qkv,to_v,rel_pos,to_out}.*``,
+    ``backbone.layers.{s}.{b}.ffn.{layer_norm,in_conv,out_conv}.*``,
+    ``backbone.layers.{s}.3.{layer_norm,conv}.*`` (intermediates),
+    ``layer_norm.{weight,bias}``, ``fc.{weight,bias}``.
+
+    Flax-side names are defined by models/mgfn/model.py.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for key, value in state_dict.items():
+        arr = _np(value)
+        parts = key.split(".")
+        if parts[0] == "backbone":
+            parts = parts[1:]
+            if parts[0] == "amplifier":
+                # to_tokens / to_mag are Conv1d k3 with bias
+                name = parts[1]
+                kind = "kernel" if parts[2] == "weight" else "bias"
+                arr = _conv1d(arr) if kind == "kernel" else arr
+                _set(params, ("backbone", "amplifier", name, kind), arr)
+                continue
+            if parts[0] == "layers":
+                stage, block = int(parts[1]), int(parts[2])
+                base = ("backbone", f"stage{stage}_block{block}")
+                rest = parts[3:]
+                _convert_mgfn_block_param(params, stats, base, rest, arr)
+                continue
+        if parts[0] == "layer_norm":
+            _set(params, ("head_norm", {"weight": "scale", "bias": "bias"}[parts[1]]), arr)
+            continue
+        if parts[0] == "fc":
+            kind = "kernel" if parts[1] == "weight" else "bias"
+            arr = arr.T if kind == "kernel" else arr
+            _set(params, ("fc", kind), arr)
+            continue
+        raise KeyError(f"unrecognized MGFN key {key!r}")
+
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def _convert_mgfn_block_param(
+    params: Dict[str, Any],
+    stats: Dict[str, Any],
+    base: Tuple[str, ...],
+    rest: Tuple[str, ...],
+    arr: np.ndarray,
+) -> None:
+    module, rest = rest[0], rest[1:]
+    if module in ("layer_norm", "conv"):  # MGFNIntermediate
+        if module == "layer_norm":
+            _set(params, base + ("norm", {"weight": "g", "bias": "b"}[rest[-1]]), arr)
+        else:
+            kind = "kernel" if rest[-1] == "weight" else "bias"
+            _set(params, base + ("conv", kind), _conv1d(arr) if kind == "kernel" else arr)
+        return
+    if module == "scc":
+        kind = "kernel" if rest[-1] == "weight" else "bias"
+        _set(params, base + ("scc", kind), _conv1d(arr) if kind == "kernel" else arr)
+        return
+    if module == "ffn":
+        sub = rest[0]
+        if sub == "layer_norm":
+            _set(params, base + ("ffn", "norm", {"weight": "g", "bias": "b"}[rest[-1]]), arr)
+        else:
+            kind = "kernel" if rest[-1] == "weight" else "bias"
+            _set(params, base + ("ffn", sub, kind), _conv1d(arr) if kind == "kernel" else arr)
+        return
+    if module == "attention":
+        sub = rest[0]
+        if sub == "norm":
+            # Glance: MGFNLayerNorm (g/b). Focus: BatchNorm1d (4 tensors).
+            if rest[-1] in ("g", "b") or arr.ndim == 3:
+                _set(params, base + ("attention", "norm", {"weight": "g", "bias": "b", "g": "g", "b": "b"}[rest[-1]]), arr)
+            elif rest[-1] == "weight":
+                _set(params, base + ("attention", "norm", "scale"), arr)
+            elif rest[-1] == "bias":
+                _set(params, base + ("attention", "norm", "bias"), arr)
+            elif rest[-1] == "running_mean":
+                _set(stats, base + ("attention", "norm", "mean"), arr)
+            elif rest[-1] == "running_var":
+                _set(stats, base + ("attention", "norm", "var"), arr)
+            return
+        kind = "kernel" if rest[-1] == "weight" else "bias"
+        _set(
+            params,
+            base + ("attention", sub, kind),
+            _conv1d(arr) if kind == "kernel" else arr,
+        )
+        return
+    raise KeyError(f"unrecognized MGFN block sub-module {module!r}")
+
+
+def convert_official_mgfn_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Official MGFN release layout -> our flax variables.
+
+    Composes the reference's official->HF key remap
+    (scripts/convert_official_to_hf.py:4-44) with convert_mgfn_state_dict:
+    official ``stages.{s}.{0|1}...`` keys become HF-style
+    ``backbone.layers...`` names first, then tensors are converted.
+    """
+    remapped: Dict[str, Any] = {}
+    for key, tensor in state_dict.items():
+        if "to_tokens" in key or "to_mag" in key:
+            remapped["backbone.amplifier." + key] = tensor
+        elif "to_logits" in key:
+            remapped["layer_norm." + key.split(".")[-1]] = tensor
+        elif key.startswith("fc"):
+            remapped[key] = tensor
+        elif key.startswith("stages"):
+            info = key.split(".")[1:]
+            layer = info[0]
+            prefix = f"backbone.layers.{layer}."
+            if info[1] == "1":  # intermediate
+                layer_name = "layer_norm" if info[2] == "0" else "conv"
+                remapped[prefix + f"3.{layer_name}.{info[-1]}"] = tensor
+            else:  # blocks
+                depth = info[3]
+                prefix += f"{depth}."
+                if info[4] == "0":
+                    remapped[prefix + f"scc.{info[-1]}"] = tensor
+                elif info[4] == "1":
+                    remapped[prefix + f"attention.{info[-2]}.{info[-1]}"] = tensor
+                elif info[4] == "2":
+                    ffn_names = {"0": "layer_norm", "1": "in_conv", "4": "out_conv"}
+                    if info[-2] in ffn_names:
+                        remapped[prefix + f"ffn.{ffn_names[info[-2]]}.{info[-1]}"] = tensor
+    return convert_mgfn_state_dict(remapped)
