@@ -1,0 +1,125 @@
+"""Host-side video decode (reference: decord usage in src/dataset.py:154-159
+and extract_features.py:112-148).
+
+decord is not part of this stack; OpenCV's FFmpeg-backed VideoCapture does
+the host decode. The reference's two decode modes are both kept:
+
+- whole-video decode for normal-sized files;
+- chunked decode (3,008 frames = 16 * 188 per chunk) for >1 GB videos so RAM
+  stays bounded (extract_features.py:116-126), with the same chunk size so
+  per-chunk feature caches stay layout-compatible.
+
+``VideoFrameSource`` additionally supports background-thread prefetch of the
+next chunk, the host half of the double-buffered host->device pipeline
+(SURVEY.md §7.2 step 7).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in this image
+    cv2 = None
+
+CHUNK_FRAMES = 16 * 188  # 3,008 (reference: extract_features.py:122)
+LARGE_VIDEO_KB = 1024 ** 2  # 1 GB in KB (reference: extract_features.py:116)
+
+
+def decode_video_frames(
+    path: str, start: int = 0, count: Optional[int] = None
+) -> np.ndarray:
+    """Decode frames [start, start+count) to RGB uint8 (N, H, W, 3)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV is required for video decode")
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path!r}")
+    if start:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    frames = []
+    while count is None or len(frames) < count:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path!r} at start={start}")
+    return np.stack(frames)
+
+
+def video_num_frames(path: str) -> int:
+    cap = cv2.VideoCapture(path)
+    try:
+        return int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    finally:
+        cap.release()
+
+
+def iter_decoded_chunks(
+    path: str, chunk_frames: int = CHUNK_FRAMES
+) -> Iterator[np.ndarray]:
+    """Stream a video as sequential RGB chunks without seeking."""
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path!r}")
+    try:
+        chunk = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            chunk.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if len(chunk) == chunk_frames:
+                yield np.stack(chunk)
+                chunk = []
+        if chunk:
+            yield np.stack(chunk)
+    finally:
+        cap.release()
+
+
+class VideoFrameSource:
+    """Double-buffered chunk decoder: a worker thread decodes ahead.
+
+    The consumer overlaps TPU compute on chunk N with host decode of chunk
+    N+1 — the streaming pipeline the BASELINE.json north star asks for.
+    """
+
+    def __init__(self, path: str, chunk_frames: int = CHUNK_FRAMES, depth: int = 2):
+        self.path = path
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(
+            target=self._worker, args=(chunk_frames,), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, chunk_frames: int) -> None:
+        try:
+            for chunk in iter_decoded_chunks(self.path, chunk_frames):
+                self._queue.put(chunk)
+            self._queue.put(None)
+        except BaseException as exc:  # propagate decode errors to consumer
+            self._queue.put(exc)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+def is_large_video(path: str, threshold_kb: int = LARGE_VIDEO_KB) -> bool:
+    """Reference chunking predicate: size in KB > 1024**2
+    (extract_features.py:116, size field is KB)."""
+    return os.path.getsize(path) / 1024 > threshold_kb

@@ -97,8 +97,9 @@ class NonLocalBlock(nn.Module):
         phi = phi.reshape(batch, -1, self.dim_inner)  # (B, thw, C)
         g = g.reshape(batch, -1, self.dim_inner)
 
+        acc_t = jnp.promote_types(theta.dtype, jnp.float32)  # f32 accum under bf16
         attn = jnp.einsum(
-            "bic,bjc->bij", theta, phi, preferred_element_type=jnp.float32
+            "bic,bjc->bij", theta, phi, preferred_element_type=acc_t
         ) * (self.dim_inner ** -0.5)
         attn = nn.softmax(attn, axis=-1).astype(theta.dtype)
         out = jnp.einsum("bij,bjc->bic", attn, g)

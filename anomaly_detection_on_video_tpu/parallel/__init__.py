@@ -1,0 +1,4 @@
+from .mesh import local_mesh, make_mesh
+from .sharding import batch_sharding, replicate, shard_batch
+
+__all__ = ["local_mesh", "make_mesh", "batch_sharding", "replicate", "shard_batch"]

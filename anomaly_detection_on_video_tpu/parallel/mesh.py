@@ -1,0 +1,53 @@
+"""Device-mesh construction for ICI/DCN scaling.
+
+The reference has no distributed code at all (SURVEY.md §2.2); this is the
+new TPU-first layer: a 1-D ``data`` mesh shards the MIL bag axis for
+training and the clip axis for extraction; gradients psum over ICI
+automatically under jit. Multi-host (DCN) initialization goes through
+``jax.distributed.initialize`` before mesh construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    axis_shapes: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a mesh over the available devices.
+
+    Default: all local devices on one ``data`` axis. ``axis_shapes`` allows
+    ND meshes (e.g. (4, 2) over ("data", "model")).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_shapes is None:
+        axis_shapes = (len(devices),)
+    if int(np.prod(axis_shapes)) != len(devices):
+        raise ValueError(
+            f"mesh shape {axis_shapes} does not cover {len(devices)} devices"
+        )
+    if len(axis_shapes) != len(axis_names):
+        raise ValueError("axis_shapes and axis_names must align")
+    grid = np.asarray(devices).reshape(axis_shapes)
+    return Mesh(grid, tuple(axis_names))
+
+
+def local_mesh(max_devices: Optional[int] = None) -> Mesh:
+    """1-D data mesh over up to ``max_devices`` local devices."""
+    devices = jax.devices()
+    if max_devices is not None:
+        devices = devices[:max_devices]
+    return make_mesh((len(devices),), ("data",), devices)
+
+
+def initialize_multihost(coordinator: Optional[str] = None) -> None:
+    """DCN multi-host init (no-op on a single host)."""
+    if jax.process_count() > 1 or coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator)

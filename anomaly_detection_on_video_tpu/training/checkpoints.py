@@ -1,0 +1,72 @@
+"""Orbax checkpointing (role of Lightning ModelCheckpoint in the reference,
+configs/trainer/callbacks/model_checkpoint.yaml: save_last + top-k by
+monitored AUC — whose monitor-name mismatch bug, SURVEY.md §3.2, is fixed
+here by monitoring the actual logged metric).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class TopKCheckpointer:
+    """Keeps the top-k states by metric plus the most recent state."""
+
+    def __init__(self, directory: str, top_k: int = 10, every_n_steps: int = 0):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=top_k + 1,
+                best_fn=(lambda m: m.get("metric", -1.0)),
+                best_mode="max",
+            ),
+        )
+        self.every_n_steps = every_n_steps
+        self._last_saved = -1
+
+    def save(self, step: int, state: Any, metric: Optional[float] = None) -> None:
+        if self.every_n_steps and step - self._last_saved < self.every_n_steps:
+            return
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self.manager.save(
+            step,
+            args=ocp.args.StandardSave(payload),
+            metrics={"metric": float(metric) if metric is not None else -1.0},
+        )
+        self._last_saved = step
+
+    def restore_latest(self, state: Any) -> Any:
+        """Restore into an existing TrainState template (shapes must match)."""
+        step = self.manager.latest_step()
+        if step is None:
+            return state
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()

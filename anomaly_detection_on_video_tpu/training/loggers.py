@@ -1,0 +1,63 @@
+"""Metric loggers (role of the reference's WandbLogger + LR monitor,
+reference: configs/trainer/logger/wandb.yaml, src/runner.py:37-38,77-88).
+
+W&B is optional and absent in air-gapped environments; the default stack is
+a JSONL file logger (machine-readable history) + console logger. Metric
+names match the reference (``train_loss``, ``valid/rec_auc``,
+``valid/pr_auc``) so dashboards/translations carry over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+
+class JsonlLogger:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+        self._f = open(path, "a", buffering=1)
+
+    def log(self, metrics: Dict[str, float], step: int) -> None:
+        record = {"step": step, "time": time.time(), **metrics}
+        self._f.write(json.dumps(record) + "\n")
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class ConsoleLogger:
+    def __init__(self, every: int = 50, stream=None):
+        self.every = every
+        self.stream = stream or sys.stderr
+
+    def log(self, metrics: Dict[str, float], step: int) -> None:
+        if "epoch" in metrics or step % self.every == 0:
+            parts = " ".join(
+                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in metrics.items()
+            )
+            print(f"[step {step}] {parts}", file=self.stream)
+
+
+class WandbLogger:
+    """Thin optional W&B logger; no-op if wandb is unavailable."""
+
+    def __init__(self, project: str = "anomaly-detection-on-video-tpu",
+                 name: Optional[str] = None, key: Optional[str] = None):
+        try:
+            import wandb
+        except ImportError:
+            self._run = None
+            return
+        if key:
+            wandb.login(key=key)
+        self._run = wandb.init(project=project, name=name)
+
+    def log(self, metrics: Dict[str, float], step: int) -> None:
+        if self._run is not None:
+            self._run.log(metrics, step=step)

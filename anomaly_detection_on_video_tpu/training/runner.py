@@ -1,0 +1,301 @@
+"""Training/eval runtime: one jit'd MIL train step + frame-level AUC eval.
+
+Re-design of the reference's Lightning runner (reference: src/runner.py:18-140)
+as explicit functional pieces:
+
+- ``TrainState``            params + batch_stats + optimizer state pytree.
+- ``make_train_step``       a single jit'd step: normal+abnormal bags already
+  concatenated normal-first (the reference concatenates in training_step,
+  src/runner.py:29-39), loss per models/mgfn, Adam-with-L2 update. Optionally
+  sharded over a device mesh (batch axis = MIL bags, params replicated;
+  gradients reduce over ICI automatically under jit).
+- ``evaluate``              per-video scores -> frame-level ROC/PR AUC with
+  x16 repeat (src/runner.py:42-50,62-79).
+- ``VideoAnomalyDetectionRunner``  the epoch loop with checkpointing and
+  metric logging — same responsibilities as the reference class, no
+  Lightning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data import eval_batches, train_batches
+from ..ops.metrics import frame_level_scores, pr_auc, roc_auc
+from .optim import adam_with_l2
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, model, variables, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            tx=tx,
+            apply_fn=model.apply,
+        )
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_train_step(mesh: Optional[jax.sharding.Mesh] = None):
+    """Build the jit'd train step.
+
+    With a mesh, the batch is sharded over the ``data`` axis (MIL bags) and
+    params are replicated; XLA inserts the psum for gradients (SURVEY.md
+    §2.2 DP row). The normal/abnormal halves stay aligned because the bag
+    axis is sharded contiguously and both halves are equal-sized.
+    """
+
+    def step(state: TrainState, feature, normal_labels, abnormal_labels, rng):
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                feature,
+                abnormal_labels=abnormal_labels,
+                normal_labels=normal_labels,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return out.loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(None, batch_sharding, batch_sharding, batch_sharding, replicated),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step():
+    def score(variables, apply_fn, feature, length):
+        return apply_fn(variables, feature, length=length).scores
+
+    return jax.jit(score, static_argnums=(1,))
+
+
+def eval_bucket(n_clips: int, minimum: int = 32) -> int:
+    """Pad the clip axis to a power-of-two bucket: a handful of compiled
+    shapes serve every test-video length (distinct lengths would otherwise
+    each pay a full XLA compile — minutes apiece on TPU)."""
+    bucket = minimum
+    while bucket < n_clips:
+        bucket *= 2
+    return bucket
+
+
+def evaluate(
+    state: TrainState,
+    dataset,
+    frames_per_clip: int = 16,
+    eval_step=None,
+) -> "EvalResult":
+    """Frame-level ROC/PR AUC over the test set (src/runner.py:62-79).
+
+    Per video, clip scores are crop-averaged by the model, repeated x16 to
+    frame level, concatenated over videos in dataset order, and scored
+    against the concatenated GT lists. Videos run through padded length
+    buckets; masking makes the padded scores bit-equal to unpadded runs
+    (see MGFNForVideoAnomalyDetection.__call__).
+    """
+    eval_step = eval_step or make_eval_step()
+    all_preds, all_labels = [], []
+    for batch in eval_batches(dataset):
+        feature = batch["feature"]  # (1, 10, n_clips, C)
+        n_clips = feature.shape[2]
+        bucket = eval_bucket(n_clips)
+        if bucket != n_clips:
+            pad = np.zeros(
+                (feature.shape[0], feature.shape[1], bucket - n_clips, feature.shape[3]),
+                feature.dtype,
+            )
+            feature = np.concatenate([feature, pad], axis=2)
+        scores = eval_step(
+            state.variables, state.apply_fn, jnp.asarray(feature),
+            jnp.int32(n_clips),
+        )
+        preds = np.asarray(scores).squeeze(0).squeeze(-1)[:n_clips]
+        all_preds.append(frame_level_scores(preds, frames_per_clip))
+        if batch["label"] is None:
+            raise ValueError(
+                f"video {batch['filename']!r} has no frame-level ground truth"
+            )
+        all_labels.append(np.asarray(batch["label"]).ravel())
+    preds = np.concatenate(all_preds)
+    labels = np.concatenate(all_labels)
+    if preds.shape != labels.shape:
+        raise ValueError(
+            f"frame count mismatch: {preds.shape} predictions vs "
+            f"{labels.shape} labels"
+        )
+    return EvalResult(
+        rec_auc=roc_auc(labels, preds),
+        pr_auc=pr_auc(labels, preds),
+        preds=preds,
+        labels=labels,
+    )
+
+
+@dataclasses.dataclass
+class EvalResult:
+    rec_auc: float
+    pr_auc: float
+    preds: np.ndarray
+    labels: np.ndarray
+
+
+class VideoAnomalyDetectionRunner:
+    """Epoch-loop orchestrator (role of the reference's LightningModule).
+
+    Wires a model + optimizer config + data config into train/eval loops
+    with checkpointing and logging. ``data_cfg`` / ``optimizer_cfg`` mirror
+    the reference's YAML groups (configs/data/default.yaml,
+    configs/runner/default.yaml).
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer_cfg: Optional[Dict[str, Any]] = None,
+        data_cfg: Optional[Dict[str, Any]] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        loggers: Iterable = (),
+        checkpointer=None,
+        seed: int = 0,
+    ):
+        optimizer_cfg = dict(optimizer_cfg or {})
+        self.model = model
+        self.data_cfg = dict(data_cfg or {})
+        self.mesh = mesh
+        self.loggers = list(loggers)
+        self.checkpointer = checkpointer
+        self.seed = seed
+        self.tx = adam_with_l2(
+            learning_rate=float(optimizer_cfg.get("learning_rate", 1e-3)),
+            weight_decay=float(optimizer_cfg.get("weight_decay", 5e-4)),
+        )
+        self._train_step = make_train_step(mesh)
+        self._eval_step = make_eval_step()
+        self.state: Optional[TrainState] = None
+
+    def init_state(self, example_batch: np.ndarray) -> TrainState:
+        init_fn = jax.jit(functools.partial(self.model.init, train=True))
+        variables = init_fn(
+            {
+                "params": jax.random.PRNGKey(self.seed),
+                "dropout": jax.random.PRNGKey(self.seed + 1),
+            },
+            jnp.asarray(example_batch[:2]),
+        )
+        self.state = TrainState.create(self.model, variables, self.tx)
+        return self.state
+
+    def restore(self, state: TrainState) -> None:
+        self.state = state
+
+    def _log(self, metrics: Dict[str, float], step: int) -> None:
+        for logger in self.loggers:
+            logger.log(metrics, step)
+
+    def fit(
+        self,
+        train_datasets: Dict[str, Any],
+        valid_dataset=None,
+        max_epochs: int = 1000,
+        batch_size: int = 16,
+        shuffle: bool = False,
+        eval_every: int = 1,
+        frames_per_clip: int = 16,
+    ) -> Optional[EvalResult]:
+        """Train with per-epoch evaluation (reference flow: run.py:35 +
+        src/runner.py loops; shuffle=False matches src/runner.py:108-124)."""
+        normal, abnormal = train_datasets["normal"], train_datasets["abnormal"]
+        rng = jax.random.PRNGKey(self.seed + 2)
+        last_eval: Optional[EvalResult] = None
+        step = 0
+        for epoch in range(max_epochs):
+            epoch_losses = []
+            t0 = time.time()
+            for batch in train_batches(
+                normal,
+                abnormal,
+                batch_size=batch_size,
+                shuffle=shuffle,
+                seed=self.seed,
+                epoch=epoch,
+            ):
+                if self.state is None:
+                    self.init_state(batch["feature"])
+                rng, step_rng = jax.random.split(rng)
+                self.state, loss = self._train_step(
+                    self.state,
+                    jnp.asarray(batch["feature"]),
+                    jnp.asarray(batch["normal_labels"]),
+                    jnp.asarray(batch["abnormal_labels"]),
+                    step_rng,
+                )
+                loss = float(loss)
+                epoch_losses.append(loss)
+                self._log({"train_loss": loss}, step)
+                step += 1
+            metrics = {
+                "epoch": epoch,
+                "epoch_time_s": time.time() - t0,
+                "train_loss_epoch": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+            }
+            if valid_dataset is not None and (epoch + 1) % eval_every == 0:
+                last_eval = evaluate(
+                    self.state, valid_dataset, frames_per_clip, self._eval_step
+                )
+                metrics["valid/rec_auc"] = last_eval.rec_auc
+                metrics["valid/pr_auc"] = last_eval.pr_auc
+            self._log(metrics, step)
+            if self.checkpointer is not None and self.state is not None:
+                self.checkpointer.save(
+                    step=step,
+                    state=self.state,
+                    metric=metrics.get("valid/rec_auc"),
+                )
+        return last_eval

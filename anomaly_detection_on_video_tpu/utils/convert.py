@@ -23,7 +23,10 @@ import numpy as np
 def _np(tensor: Any) -> np.ndarray:
     if hasattr(tensor, "detach"):
         tensor = tensor.detach().cpu().numpy()
-    return np.asarray(tensor)
+    # copy: torch .numpy() returns a live view of the tensor's buffer, and
+    # jnp.asarray can alias numpy memory zero-copy on CPU — an in-place torch
+    # update (e.g. BN running stats) would silently mutate converted params
+    return np.array(tensor, copy=True)
 
 
 def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray) -> None:
@@ -168,7 +171,8 @@ def _convert_mgfn_block_param(
     module, rest = rest[0], rest[1:]
     if module in ("layer_norm", "conv"):  # MGFNIntermediate
         if module == "layer_norm":
-            _set(params, base + ("norm", {"weight": "g", "bias": "b"}[rest[-1]]), arr)
+            # reference MGFNLayerNorm stores g/b as (1, dim, 1); flax uses (dim,)
+            _set(params, base + ("norm", {"weight": "g", "bias": "b", "g": "g", "b": "b"}[rest[-1]]), arr.reshape(-1))
         else:
             kind = "kernel" if rest[-1] == "weight" else "bias"
             _set(params, base + ("conv", kind), _conv1d(arr) if kind == "kernel" else arr)
@@ -180,7 +184,7 @@ def _convert_mgfn_block_param(
     if module == "ffn":
         sub = rest[0]
         if sub == "layer_norm":
-            _set(params, base + ("ffn", "norm", {"weight": "g", "bias": "b"}[rest[-1]]), arr)
+            _set(params, base + ("ffn", "norm", {"weight": "g", "bias": "b", "g": "g", "b": "b"}[rest[-1]]), arr.reshape(-1))
         else:
             kind = "kernel" if rest[-1] == "weight" else "bias"
             _set(params, base + ("ffn", sub, kind), _conv1d(arr) if kind == "kernel" else arr)
@@ -190,7 +194,7 @@ def _convert_mgfn_block_param(
         if sub == "norm":
             # Glance: MGFNLayerNorm (g/b). Focus: BatchNorm1d (4 tensors).
             if rest[-1] in ("g", "b") or arr.ndim == 3:
-                _set(params, base + ("attention", "norm", {"weight": "g", "bias": "b", "g": "g", "b": "b"}[rest[-1]]), arr)
+                _set(params, base + ("attention", "norm", {"weight": "g", "bias": "b", "g": "g", "b": "b"}[rest[-1]]), arr.reshape(-1))
             elif rest[-1] == "weight":
                 _set(params, base + ("attention", "norm", "scale"), arr)
             elif rest[-1] == "bias":

@@ -1,0 +1,147 @@
+"""Data-plane tests: feature contract, segmenting, GT builder, batching."""
+
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from anomaly_detection_on_video_tpu.data import (
+    add_magnitude,
+    build_feature_dataset,
+    build_ground_truth,
+    eval_batches,
+    parse_temporal_annotations,
+    segment_features,
+    train_batches,
+)
+from anomaly_detection_on_video_tpu.data.gt import frame_labels
+
+
+def reference_segment(features, seg_length=32):
+    """Direct transcription of the reference algorithm as an oracle
+    (extract_features.py:170-183)."""
+    divided = []
+    for f in features.transpose(1, 0, 2):
+        new_feat = np.zeros((seg_length, f.shape[1])).astype(np.float32)
+        r = np.linspace(0, len(f), seg_length + 1, dtype=int)
+        for i in range(seg_length):
+            if r[i] != r[i + 1]:
+                new_feat[i, :] = np.mean(f[r[i] : r[i + 1], :], 0)
+            else:
+                new_feat[i, :] = f[r[i], :]
+        divided.append(new_feat)
+    return np.array(divided, dtype=np.float32)
+
+
+@pytest.mark.parametrize("n_clips", [3, 17, 32, 33, 64, 203])
+def test_segment_matches_reference(rng, n_clips):
+    feats = rng.randn(n_clips, 10, 8).astype(np.float32)
+    np.testing.assert_allclose(
+        segment_features(feats, 32), reference_segment(feats, 32), rtol=1e-6
+    )
+
+
+def test_add_magnitude():
+    f = np.array([[[3.0, 4.0]]])
+    out = add_magnitude(f)
+    assert out.shape == (1, 1, 3)
+    np.testing.assert_allclose(out[0, 0], [3.0, 4.0, 5.0])
+
+
+def make_feature_zip(path, names, shape=(4, 10, 8), seed=0):
+    rng = np.random.RandomState(seed)
+    arrays = {}
+    with zipfile.ZipFile(path, "w") as zf:
+        for name in names:
+            arr = rng.randn(*shape).astype(np.float32)
+            arrays[name] = arr
+            import io
+
+            buf = io.BytesIO()
+            np.save(buf, arr)
+            zf.writestr(f"features/{name}", buf.getvalue())
+    return arrays
+
+
+def test_build_feature_dataset_train_split(tmp_path):
+    zip_path = str(tmp_path / "train.zip")
+    names = ["Normal_001_i3d.npy", "Abuse_001_i3d.npy", "Normal_002_i3d.npy"]
+    arrays = make_feature_zip(zip_path, names, shape=(10, 32, 8))
+    ds = build_feature_dataset("train", local_path=zip_path, dynamic_load=True)
+    assert sorted(ds["normal"].filenames) == ["Normal_001_i3d.npy", "Normal_002_i3d.npy"]
+    assert ds["abnormal"].filenames == ["Abuse_001_i3d.npy"]
+    item = ds["abnormal"][0]
+    assert item["feature"].shape == (10, 32, 9)  # +magnitude
+    assert item["anomaly"] == 1.0
+    np.testing.assert_allclose(
+        item["feature"][..., :8], arrays["Abuse_001_i3d.npy"], rtol=1e-6
+    )
+
+
+def test_build_feature_dataset_test_with_gt(tmp_path):
+    zip_path = str(tmp_path / "test.zip")
+    names = ["Normal_9_i3d.npy", "Fighting_3_i3d.npy"]
+    make_feature_zip(zip_path, names, shape=(4, 10, 8))
+    gt = {"Normal_9_i3d.npy": [0.0] * 64, "Fighting_3": [1.0] * 64}
+    gt_path = str(tmp_path / "gt.json")
+    json.dump(gt, open(gt_path, "w"))
+    ds = build_feature_dataset(
+        "test", local_path=zip_path, dynamic_load=False, ground_truth_path=gt_path
+    )
+    # both full-filename and stem keys resolve
+    labels = {item["filename"]: item["label"] for item in (ds[i] for i in range(2))}
+    assert labels["Normal_9_i3d.npy"].sum() == 0
+    assert labels["Fighting_3_i3d.npy"].sum() == 64
+
+
+def test_train_batches_normal_first(tmp_path):
+    zip_path = str(tmp_path / "train.zip")
+    names = [f"Normal_{i}_i3d.npy" for i in range(4)] + [
+        f"Abuse_{i}_i3d.npy" for i in range(5)
+    ]
+    make_feature_zip(zip_path, names, shape=(10, 32, 8))
+    ds = build_feature_dataset("train", local_path=zip_path)
+    batches = list(train_batches(ds["normal"], ds["abnormal"], batch_size=2))
+    # min(4, 5) // 2 = 2 steps, drop_last
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["feature"].shape == (4, 10, 32, 9)
+    np.testing.assert_array_equal(b["normal_labels"], [0.0, 0.0])
+    np.testing.assert_array_equal(b["abnormal_labels"], [1.0, 1.0])
+
+
+def test_eval_batches_permutation(tmp_path):
+    zip_path = str(tmp_path / "test.zip")
+    make_feature_zip(zip_path, ["Normal_1_i3d.npy"], shape=(7, 10, 8))
+    ds = build_feature_dataset("test", local_path=zip_path)
+    batch = next(eval_batches(ds))
+    assert batch["feature"].shape == (1, 10, 7, 9)
+
+
+def test_parse_annotations_and_frame_labels(tmp_path):
+    annot = tmp_path / "annot.txt"
+    annot.write_text(
+        "Abuse028_x264.mp4  Abuse  165  240  -1  -1\n"
+        "Normal_Videos_003_x264.mp4  Normal  -1  -1  -1  -1\n"
+    )
+    annots = parse_temporal_annotations(str(annot))
+    assert annots["Abuse028_x264"]["first_event"] == (165, 240)
+    gt = frame_labels(annots["Abuse028_x264"].values(), num_frame=200)
+    assert sum(gt) == 200 - 165  # clamped at num_frame, end inclusive
+    assert gt[164] == 0.0 and gt[165] == 1.0 and gt[199] == 1.0
+    assert sum(frame_labels(annots["Normal_Videos_003_x264"].values(), 100)) == 0
+
+
+def test_build_ground_truth_from_dir(tmp_path):
+    feat_dir = tmp_path / "test_feats"
+    feat_dir.mkdir()
+    np.save(feat_dir / "Abuse028_x264_i3d.npy", np.zeros((5, 10, 8), np.float32))
+    annot = tmp_path / "annot.txt"
+    annot.write_text("Abuse028_x264.mp4  Abuse  10  20  40  50\n")
+    gt = build_ground_truth(str(annot), str(feat_dir))
+    assert list(gt) == ["Abuse028_x264"]
+    assert len(gt["Abuse028_x264"]) == 80  # 5 clips * 16
+    arr = np.asarray(gt["Abuse028_x264"])
+    assert arr[10:21].sum() == 11 and arr[40:51].sum() == 11 and arr.sum() == 22

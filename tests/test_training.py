@@ -1,0 +1,150 @@
+"""Training runtime tests: train step, eval AUC, sharded-vs-single parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anomaly_detection_on_video_tpu.data.features import FeatureDataset
+from anomaly_detection_on_video_tpu.models import build_model
+from anomaly_detection_on_video_tpu.parallel import local_mesh, shard_batch
+from anomaly_detection_on_video_tpu.training import (
+    TrainState,
+    VideoAnomalyDetectionRunner,
+)
+from anomaly_detection_on_video_tpu.training.runner import (
+    evaluate,
+    make_train_step,
+)
+
+TINY = dict(dims=(16, 16, 32), depths=(1, 1, 1), dim_head=8, channels=24)
+FDIM = 25  # channels + magnitude
+
+
+def tiny_state(seed=0, randomize=False, **overrides):
+    config, model = build_model("mgfn", **{**TINY, **overrides})
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 8, FDIM)),
+        train=True,
+    )
+    if randomize:
+        # at default init the head LayerNorm (scale=1, bias=0) makes every
+        # clip's feature magnitude exactly sqrt(dim): top-k selection becomes
+        # fp-noise tie-breaking. Randomized params separate the magnitudes so
+        # selection is stable, as it is for a trained model.
+        leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+        keys = jax.random.split(jax.random.PRNGKey(seed + 100), len(leaves))
+        leaves = [
+            l + 0.3 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ]
+        variables = dict(variables, params=jax.tree_util.tree_unflatten(treedef, leaves))
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    return model, TrainState.create(model, variables, adam_with_l2())
+
+
+def make_batch(rng, bsz=4, t=8):
+    return (
+        jnp.asarray(rng.randn(2 * bsz, 10, t, FDIM).astype(np.float32)),
+        jnp.zeros(bsz),
+        jnp.ones(bsz),
+    )
+
+
+def test_train_step_decreases_loss_on_fixed_batch(rng):
+    model, state = tiny_state()
+    feature, nlab, alab = make_batch(rng)
+    step = make_train_step()
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        state, loss = step(state, feature, nlab, alab, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """DP over the 8-device CPU mesh must be numerically equivalent to
+    single-device execution (SURVEY.md §4 distributed test)."""
+    feature, nlab, alab = make_batch(rng, bsz=8)
+    key = jax.random.PRNGKey(3)
+
+    # dropout_rate=0 + randomized params keep top-k selection deterministic
+    # (exact-zero dropout ties / equal-magnitude LN ties would otherwise flip
+    # under different reduction orders — amplification noise, not a DP bug)
+    model, state1 = tiny_state(dropout_rate=0.0, randomize=True)
+    single = make_train_step()
+    state1, loss1 = single(state1, feature, nlab, alab, key)
+
+    mesh = local_mesh()
+    assert mesh.devices.size == 8
+    model, state2 = tiny_state(dropout_rate=0.0, randomize=True)
+    sharded = make_train_step(mesh)
+    sb = shard_batch(mesh, {"f": feature, "n": nlab, "a": alab})
+    state2, loss2 = sharded(state2, sb["f"], sb["n"], sb["a"], key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def make_eval_dataset(rng, n_videos=3):
+    filenames, arrays, labels = [], {}, {}
+    for i in range(n_videos):
+        name = f"{'Normal' if i % 2 else 'Abuse'}_{i}_i3d.npy"
+        n_clips = 4 + i
+        arrays[name] = rng.randn(n_clips, 10, FDIM - 1).astype(np.float32)
+        labels[name] = [float((i + j) % 2) for j in range(n_clips * 16)]
+        filenames.append(name)
+    return FeatureDataset(filenames=filenames, _arrays=arrays, labels=labels)
+
+
+def test_evaluate_produces_auc(rng):
+    model, state = tiny_state()
+    ds = make_eval_dataset(rng)
+    result = evaluate(state, ds)
+    assert 0.0 <= result.rec_auc <= 1.0
+    assert 0.0 <= result.pr_auc <= 1.0
+    assert result.preds.shape == result.labels.shape
+
+
+def test_runner_fit_end_to_end(rng, tmp_path):
+    """Two epochs over tiny synthetic bags + eval, via the runner API."""
+    config, model = build_model("mgfn", **TINY)
+    normal = FeatureDataset(
+        filenames=[f"Normal_{i}_i3d.npy" for i in range(4)],
+        _arrays={
+            f"Normal_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(np.float32)
+            for i in range(4)
+        },
+    )
+    abnormal = FeatureDataset(
+        filenames=[f"Abuse_{i}_i3d.npy" for i in range(4)],
+        _arrays={
+            f"Abuse_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(np.float32)
+            for i in range(4)
+        },
+    )
+
+    class Capture:
+        records = []
+
+        def log(self, metrics, step):
+            self.records.append((step, metrics))
+
+    cap = Capture()
+    runner = VideoAnomalyDetectionRunner(model, loggers=[cap])
+    result = runner.fit(
+        {"normal": normal, "abnormal": abnormal},
+        valid_dataset=make_eval_dataset(rng),
+        max_epochs=2,
+        batch_size=2,
+    )
+    assert result is not None and 0.0 <= result.rec_auc <= 1.0
+    keys = {k for _, m in cap.records for k in m}
+    assert {"train_loss", "valid/rec_auc", "valid/pr_auc"} <= keys

@@ -95,3 +95,190 @@ def randomize_bn_stats(model, seed=0):
             mod.running_var.copy_(torch.rand(mod.num_features, generator=gen) + 0.5)
             mod.weight.data.copy_(torch.rand(mod.num_features, generator=gen) + 0.5)
             mod.bias.data.copy_(torch.randn(mod.num_features, generator=gen) * 0.1)
+
+
+# ---------------------------------------------------------------------------
+# MGFN oracle (behavioral spec: SURVEY.md §C11/§C12, reference
+# src/models/mgfn/modeling_mgfn.py + src/loss/). Built from torch primitives
+# as an independent numerical oracle for the JAX implementation.
+# ---------------------------------------------------------------------------
+
+class OracleChanLN(nn.Module):
+    def __init__(self, dim, eps=1e-5):
+        super().__init__()
+        self.eps = eps
+        self.g = nn.Parameter(torch.ones(1, dim, 1))
+        self.b = nn.Parameter(torch.zeros(1, dim, 1))
+
+    def forward(self, x):  # (B, C, T)
+        std = torch.var(x, dim=1, unbiased=False, keepdim=True).sqrt()
+        mean = torch.mean(x, dim=1, keepdim=True)
+        return (x - mean) / (std + self.eps) * self.g + self.b
+
+
+class OracleFFN(nn.Module):
+    def __init__(self, dim, repe=4, dropout=0.0):
+        super().__init__()
+        self.layer_norm = OracleChanLN(dim)
+        self.in_conv = nn.Conv1d(dim, dim * repe, 1)
+        self.out_conv = nn.Conv1d(dim * repe, dim, 1)
+        self.drop = nn.Dropout(dropout)
+
+    def forward(self, x):
+        return self.out_conv(self.drop(torch.nn.functional.gelu(
+            self.in_conv(self.layer_norm(x)))))
+
+
+class OracleGlanceAttn(nn.Module):
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        self.heads, self.scale = heads, dim_head ** -0.5
+        inner = dim_head * heads
+        self.norm = OracleChanLN(dim)
+        self.to_qkv = nn.Conv1d(dim, inner * 3, 1, bias=False)
+        self.to_out = nn.Conv1d(inner, dim, 1)
+
+    def forward(self, x):  # (B, C, T)
+        x = self.norm(x)
+        q, k, v = self.to_qkv(x).chunk(3, dim=1)
+        b, _, t = q.shape
+        h = self.heads
+        def split(a):  # (b, h*d, t) -> (b, h, t, d)
+            return a.view(b, h, -1, t).permute(0, 1, 3, 2)
+        q, k, v = split(q) * self.scale, split(k), split(v)
+        attn = torch.softmax(q @ k.transpose(-1, -2), dim=-1)
+        out = attn @ v  # (b, h, t, d)
+        out = out.permute(0, 1, 3, 2).reshape(b, -1, t)
+        return self.to_out(out)
+
+
+class OracleFocusAttn(nn.Module):
+    def __init__(self, dim, heads, dim_head, kernel):
+        super().__init__()
+        self.heads = heads
+        inner = dim_head * heads
+        self.norm = nn.BatchNorm1d(dim)
+        self.to_v = nn.Conv1d(dim, inner, 1, bias=False)
+        self.rel_pos = nn.Conv1d(heads, heads, kernel,
+                                 padding=kernel // 2, groups=heads)
+        self.to_out = nn.Conv1d(inner, dim, 1)
+
+    def forward(self, x):  # (B, C, T)
+        x = self.norm(x)
+        v = self.to_v(x)
+        b, c, t = v.shape
+        h = self.heads
+        # rearrange "b (c h) t -> (b c) h t"
+        v = v.view(b, c // h, h, t).reshape(b * (c // h), h, t)
+        out = self.rel_pos(v)
+        out = out.view(b, c // h, h, t).reshape(b, c, t)
+        return self.to_out(out)
+
+
+class OracleBlock(nn.Module):
+    def __init__(self, kind, dim, heads, dim_head=64, ff_repe=4, kernel=5):
+        super().__init__()
+        self.scc = nn.Conv1d(dim, dim, 3, padding=1)
+        if kind == "gb":
+            self.attention = OracleGlanceAttn(dim, heads, dim_head)
+        else:
+            self.attention = OracleFocusAttn(dim, heads, dim_head, kernel)
+        self.ffn = OracleFFN(dim, ff_repe)
+
+    def forward(self, x):
+        x = self.scc(x) + x
+        x = self.attention(x) + x
+        return self.ffn(x) + x
+
+
+class OracleIntermediate(nn.Module):
+    def __init__(self, in_dim, out_dim):
+        super().__init__()
+        self.layer_norm = OracleChanLN(in_dim)
+        self.conv = nn.Conv1d(in_dim, out_dim, 1)
+
+    def forward(self, x):
+        return self.conv(self.layer_norm(x))
+
+
+class OracleMGFN(nn.Module):
+    """Full MGFN scorer oracle with the reference's selection + loss math."""
+
+    def __init__(self, dims=(64, 128, 1024), depths=(3, 3, 2),
+                 types=("gb", "fb", "fb"), channels=2048, dim_head=64,
+                 mag_ratio=0.1, k=3):
+        super().__init__()
+        self.mag_ratio, self.k = mag_ratio, k
+        self.to_tokens = nn.Conv1d(channels, dims[0], 3, padding=1)
+        self.to_mag = nn.Conv1d(1, dims[0], 3, padding=1)
+        stages = []
+        for i, (depth, kind) in enumerate(zip(depths, types)):
+            blocks = [OracleBlock(kind, dims[i], dims[i] // dim_head,
+                                  dim_head=dim_head)
+                      for _ in range(depth)]
+            if i != len(depths) - 1:
+                blocks.append(OracleIntermediate(dims[i], dims[i + 1]))
+            stages.append(nn.Sequential(*blocks))
+        self.layers = nn.Sequential(*stages)
+        self.layer_norm = nn.LayerNorm(dims[-1])
+        self.fc = nn.Linear(dims[-1], 1)
+
+    def forward(self, video, force_split=False):
+        bs, ncrops, t, c = video.shape
+        x = video.view(bs * ncrops, t, c).permute(0, 2, 1)
+        x_f = self.to_tokens(x[:, :2048]) + self.mag_ratio * self.to_mag(x[:, 2048:])
+        x = self.layers(x_f).permute(0, 2, 1)  # (bs*ncrops, t, f)
+        x = self.layer_norm(x)
+        scores = torch.sigmoid(self.fc(x))
+
+        feat_mag = torch.norm(x, p=2, dim=2).view(bs, ncrops, -1).mean(1)
+        scores_avg = scores.view(bs, ncrops, -1).mean(1).unsqueeze(2)
+
+        if force_split:
+            half = bs // 2
+            nf, af = x[: half * ncrops], x[half * ncrops:]
+            ns, as_ = scores_avg[:half], scores_avg[half:]
+            nm, am = feat_mag[:half], feat_mag[half:]
+        else:
+            nf = af = x
+            ns = as_ = scores_avg
+            nm = am = feat_mag
+
+        def select(mag, feats, sc):
+            n = mag.shape[0]
+            idx = torch.topk(mag, self.k, dim=1)[1]
+            idx_f = idx.unsqueeze(2).expand(-1, -1, feats.shape[2])
+            f = feats.view(n, ncrops, t, -1).permute(1, 0, 2, 3)
+            sel = torch.cat([torch.gather(fc_, 1, idx_f) for fc_ in f])
+            idx_s = idx.unsqueeze(2)
+            return sel, torch.mean(torch.gather(sc, 1, idx_s), dim=1)
+
+        a_sel, score_ab = select(am, af, as_)
+        n_sel, score_no = select(nm, nf, ns)
+        return score_ab, score_no, a_sel, n_sel, scores_avg
+
+
+def oracle_losses(score_ab, score_no, a_sel, n_sel, alabels, nlabels,
+                  scores_avg, bs):
+    """Reference loss composition (modeling_mgfn.py:406-418, src/loss/*)."""
+    sm = 8e-4 * torch.sum(
+        (scores_avg[:, 1:, :] - scores_avg[:, :-1, :]) ** 2)
+    sp = 8e-3 * torch.mean(torch.norm(
+        scores_avg[: bs // 2].reshape(-1), dim=0))
+
+    def contrast(o1, o2, label, margin=200.0):
+        d = torch.nn.functional.pairwise_distance(o1, o2, keepdim=True)
+        return torch.mean((1 - label) * d ** 2
+                          + label * torch.clamp(margin - d, min=0.0) ** 2)
+
+    labels = torch.cat((nlabels, alabels), 0)
+    scores = torch.cat((score_no, score_ab), 0).squeeze()
+    sep = len(n_sel) // 2
+    loss_cls = torch.nn.functional.binary_cross_entropy(scores, labels)
+    a_l1 = torch.norm(a_sel, p=1, dim=2)
+    n_l1 = torch.norm(n_sel, p=1, dim=2)
+    con = contrast(a_l1, n_l1, 1)
+    con_n = contrast(n_l1[sep:], n_l1[:sep], 0)
+    con_a = contrast(a_l1[sep:], a_l1[:sep], 0)
+    alpha = 0.001
+    return loss_cls + alpha * (alpha * con + con_a + con_n) + sm + sp
