@@ -1,0 +1,216 @@
+"""Streaming I3D feature extraction: decode -> fused preprocess -> batched MXU.
+
+Re-design of the reference's offline extractor (reference:
+extract_features.py:55-156). The reference runs a DataLoader of clips and a
+Python loop of 10 sequential per-crop model forwards (:85-89) — here the
+whole chunk is preprocessed in one fused device call (ops/gtransforms.py)
+and (clips x crops) becomes one batch axis on the MXU, while a background
+thread decodes the next chunk (data/video.py): host decode overlaps device
+compute (double buffering, the BASELINE.json north star).
+
+Preserved on-disk contract: ``<video>_i3d.npy`` of shape
+``(n_clips, 10, 2048)`` float32, per-chunk caches ``<video>/<video>_{i}.npy``
+for >1 GB videos (reference :131-148), skip-if-exists resumability.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.i3d import build_i3d_feature_extractor
+
+from ..utils.npyio import atomic_save
+from .segments import segment_video_features
+from .video import CHUNK_FRAMES, VideoFrameSource, is_large_video
+
+
+class FeatureExtractor:
+    """TPU feature extractor with per-resolution compile caching.
+
+    ``batch`` bounds the number of (clip, crop) forwards per device step so
+    activations fit HBM; clips are padded to a full final batch and the pad
+    results dropped. Everything between raw uint8 frames and the
+    (n_clips, 10, 2048) output stays on device.
+    """
+
+    def __init__(
+        self,
+        model_name: str = "tushar-n-baseline",
+        variables=None,
+        dtype=jnp.bfloat16,
+        batch: int = 240,
+        frames_per_clip: int = 16,
+        resize: int = 256,
+        cropsize: int = 224,
+        precise_resize: bool = True,
+    ):
+        self.model = build_i3d_feature_extractor(model_name, dtype=dtype)
+        if variables is None:
+            variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, frames_per_clip, cropsize, cropsize, 3), jnp.float32),
+            )
+        self.variables = variables
+        # B=240 saturates the v5e MXU (~1800 crop-fwd/s); 24 clips x 10 crops
+        self.group_clips = max(1, batch // 10)
+        self.batch = self.group_clips * 10
+        self.frames_per_clip = frames_per_clip
+        self.resize = resize
+        self.cropsize = cropsize
+
+        from ..ops.gtransforms import standardize, ten_crop
+        from ..ops.resize import (
+            resize_bilinear_exact,
+            resize_bilinear_fast,
+            short_side_size,
+        )
+
+        # exact: PIL-bit-exact int32 path (VPU, slow) for parity runs;
+        # fast: f32 MXU path, ±1 LSB on ~1e-5 of pixels (see ops/resize.py)
+        resize_fn = resize_bilinear_exact if precise_resize else resize_bilinear_fast
+
+        # Two separate jits: fusing the whole-chunk resize with the scan over
+        # clip groups makes XLA produce a ~10x slower program (measured);
+        # the uint8 intermediate stays on device between the two calls.
+        @jax.jit
+        def _resize(frames):
+            out_h, out_w = short_side_size(
+                frames.shape[1], frames.shape[2], self.resize
+            )
+            fpc, gc = self.frames_per_clip, self.group_clips
+            n_groups = frames.shape[0] // (gc * fpc)
+            resized = resize_fn(frames, out_h, out_w)  # uint8
+            return resized.reshape(n_groups, gc, fpc, out_h, out_w, 3)
+
+        @jax.jit
+        def _forward(variables, grouped):
+            """grouped: (n_groups, gc, fpc, H', W', 3) uint8, clips already
+            loop-padded on host so every clip is a contiguous equal-length
+            frame run — no gathers. The 10-crop float expansion (x40 bytes
+            vs uint8) exists only per micro-batch inside the scan body."""
+            fpc, gc = self.frames_per_clip, self.group_clips
+            n_groups = grouped.shape[0]
+
+            def body(frames_g):
+                crops = ten_crop(frames_g, self.cropsize)  # (10, gc, fpc, c, c, 3)
+                x = standardize(crops).astype(self.model.dtype)
+                # (10, gc, ...) -> (gc, 10, ...) -> batch (gc * 10)
+                x = jnp.transpose(x, (1, 0, 2, 3, 4, 5))
+                x = x.reshape(self.batch, fpc, self.cropsize, self.cropsize, 3)
+                return self.model.apply(variables, x).reshape(gc, 10, -1)
+
+            feats = jax.lax.map(body, grouped)
+            return feats.reshape(n_groups * gc, 10, -1)
+
+        def _extract(variables, frames):
+            return _forward(variables, _resize(frames))
+
+        self._extract = _extract
+
+    def pad_frames(self, frames: np.ndarray) -> np.ndarray:
+        """Host-side loop-pad + group-pad of the raw uint8 frames.
+
+        Tail frames tile to a full clip (LoopPad semantics,
+        src/gtransforms.py:115-132: padded frame i of a length-L tail is
+        tail[i % L]); the final partial clip group is filled with copies of
+        the last clip (results dropped by the caller). uint8 memcpy — cheap
+        relative to decode.
+        """
+        fpc, gc = self.frames_per_clip, self.group_clips
+        n_frames = frames.shape[0]
+        n_clips = (n_frames - 1) // fpc + 1
+        tail = n_frames - (n_clips - 1) * fpc
+        if tail != fpc:
+            tail_frames = frames[(n_clips - 1) * fpc :]
+            reps = -(-fpc // tail)
+            pad = np.tile(tail_frames, (reps, 1, 1, 1))[: fpc - tail]
+            frames = np.concatenate([frames, pad])
+        n_groups = -(-n_clips // gc)
+        missing = n_groups * gc - n_clips
+        if missing:
+            last_clip = frames[-fpc:]
+            frames = np.concatenate([frames] + [last_clip] * missing)
+        return frames
+
+    def extract_frames(self, frames: np.ndarray) -> np.ndarray:
+        """uint8 (n_frames, H, W, 3) -> float32 (n_clips, 10, 2048)."""
+        n_clips = (frames.shape[0] - 1) // self.frames_per_clip + 1
+        padded = self.pad_frames(frames)
+        out = self._extract(self.variables, padded)
+        return np.asarray(out[:n_clips], dtype=np.float32)
+
+    def extract_video(
+        self,
+        video_path: str,
+        chunk_frames: int = CHUNK_FRAMES,
+        cache_dir: Optional[str] = None,
+    ) -> np.ndarray:
+        """Whole-video extraction with streaming decode overlap.
+
+        ``cache_dir`` enables the reference's per-chunk npy caching for big
+        videos (resume after interruption, extract_features.py:131-148).
+        """
+        outputs = []
+        source = VideoFrameSource(video_path, chunk_frames)
+        for i, chunk in enumerate(source):
+            if cache_dir is not None:
+                stem = os.path.splitext(os.path.basename(video_path))[0]
+                chunk_path = os.path.join(cache_dir, stem, f"{stem}_{i}.npy")
+                if os.path.exists(chunk_path):
+                    outputs.append(np.load(chunk_path))
+                    continue
+                feats = self.extract_frames(chunk)
+                atomic_save(chunk_path, feats)
+                outputs.append(feats)
+            else:
+                outputs.append(self.extract_frames(chunk))
+        return np.vstack(outputs)
+
+
+def extract_videos(
+    video_paths: Sequence[str],
+    outdir: str,
+    extractor: Optional[FeatureExtractor] = None,
+    chunk_cache_for_large: bool = True,
+    progress: bool = True,
+    **extractor_kwargs,
+) -> int:
+    """Extract features for many videos, idempotently (skip existing).
+
+    Writes ``<stem>_i3d.npy`` per video into outdir, mirroring the reference
+    layout (extract_features.py:104-156). Returns number extracted.
+    """
+    extractor = extractor or FeatureExtractor(**extractor_kwargs)
+    os.makedirs(outdir, exist_ok=True)
+    iterator: Iterable[str] = video_paths
+    if progress:
+        try:
+            from tqdm.auto import tqdm
+
+            iterator = tqdm(video_paths)
+        except ImportError:
+            pass
+    n_done = 0
+    for path in iterator:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        savepath = os.path.join(outdir, f"{stem}_i3d.npy")
+        if os.path.exists(savepath):
+            continue
+        cache = outdir if chunk_cache_for_large and is_large_video(path) else None
+        features = extractor.extract_video(path, cache_dir=cache)
+        atomic_save(savepath, features)
+        n_done += 1
+    return n_done
+
+
+__all__ = [
+    "FeatureExtractor",
+    "extract_videos",
+    "segment_video_features",
+]

@@ -298,4 +298,8 @@ class VideoAnomalyDetectionRunner:
                     state=self.state,
                     metric=metrics.get("valid/rec_auc"),
                 )
+        if self.checkpointer is not None:
+            # orbax saves are async; an unawaited save at interpreter exit
+            # dies with "cannot schedule new futures" and leaves tmp dirs
+            self.checkpointer.wait()
         return last_eval

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Offline I3D feature extraction CLI (reference: extract_features.py).
+
+Same role and on-disk contract as the reference entry point: per video a
+``<stem>_i3d.npy`` of shape (n_clips, 10, 2048), then 32-segment pooled
+train features (10, 32, 2048). TPU pipeline: cv2 host decode (double
+buffered) -> fused resize/ten-crop/standardize on device -> batched
+(clips x crops) I3D on the MXU.
+
+Local mode (default, zero-egress friendly):
+    python extract_features.py --videos <dir-or-files> --outdir out \
+        [--split train|test] [--weights i3d.pt] [--model tushar-n-baseline]
+
+HF-dataset mode, mirroring the reference's default flow
+(extract_features.py:26-31, requires network):
+    python extract_features.py --hf-dataset jinmang2/ucf_crime --outdir out
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+VIDEO_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm")
+
+
+def find_videos(spec: str):
+    if os.path.isdir(spec):
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(spec, "**", "*"), recursive=True)
+            if f.lower().endswith(VIDEO_EXTS)
+        )
+    else:
+        files = sorted(glob.glob(spec))
+    if not files:
+        raise SystemExit(f"no videos found under {spec!r}")
+    return files
+
+
+def load_weights(path: str | None, model_name: str):
+    if path is None:
+        print(
+            "WARNING: no --weights given; using random initialization "
+            "(features will not match any pretrained reference)",
+            file=sys.stderr,
+        )
+        return None
+    import torch
+
+    from anomaly_detection_on_video_tpu.utils.convert import (
+        convert_i3res50_state_dict,
+    )
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    if model_name != "tushar-n-baseline":
+        raise SystemExit(
+            "weight conversion currently implemented for tushar-n-baseline"
+        )
+    return convert_i3res50_state_dict(state_dict)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--videos", help="video directory or glob")
+    parser.add_argument("--hf-dataset", help="HF dataset id (network mode)")
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--split", default=None, choices=[None, "train", "test"],
+                        help="subdirectory under outdir; train also gets segments")
+    parser.add_argument("--model", default="tushar-n-baseline")
+    parser.add_argument("--weights", default=None, help="torch .pt state dict")
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="compute dtype (float32 for bit-parity runs)")
+    parser.add_argument("--batch", type=int, default=32,
+                        help="(clip, crop) forwards per device step")
+    parser.add_argument("--segment-length", type=int, default=32)
+    parser.add_argument("--no-segments", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        FeatureExtractor,
+        extract_videos,
+        segment_video_features,
+    )
+
+    extractor = FeatureExtractor(
+        model_name=args.model,
+        variables=load_weights(args.weights, args.model),
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        batch=args.batch,
+        # float32 runs are parity runs: use the PIL-bit-exact resize
+        precise_resize=(args.dtype == "float32"),
+    )
+
+    if args.hf_dataset:
+        from datasets import load_dataset  # network mode
+
+        dataset = load_dataset(args.hf_dataset, "anomaly")
+        for mode, split in dataset.items():
+            videos = [s["video_path"] for s in split]
+            outdir = os.path.join(args.outdir, "anomaly_features", mode)
+            n = extract_videos(videos, outdir, extractor)
+            print(f"{mode}: extracted {n} new videos -> {outdir}")
+        train_dir = os.path.join(args.outdir, "anomaly_features", "train")
+    else:
+        if not args.videos:
+            parser.error("one of --videos / --hf-dataset is required")
+        videos = find_videos(args.videos)
+        outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
+        n = extract_videos(videos, outdir, extractor)
+        print(f"extracted {n} new videos ({len(videos)} total) -> {outdir}")
+        train_dir = outdir if args.split in (None, "train") else None
+
+    if train_dir and not args.no_segments:
+        seg_dir = os.path.join(
+            args.outdir, f"segment_features_{args.segment_length}"
+        )
+        written = segment_video_features(train_dir, seg_dir, args.segment_length)
+        print(f"segmented {written} feature files -> {seg_dir}")
+
+
+if __name__ == "__main__":
+    main()

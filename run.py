@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Training CLI (reference: run.py).
+
+Hydra-style composition over ``configs/`` with the same override grammar:
+
+    python run.py runner=mgfn                      # select the MGFN runner
+    python run.py runner=mgfn data.batch_size=8    # dotted value overrides
+    python run.py runner=mgfn data.local_path=/data/features trainer.max_epochs=50
+
+As in the reference (configs/runner/default.yaml has no model), a real run
+requires ``runner=mgfn``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    from anomaly_detection_on_video_tpu.config import compose, instantiate, locate
+
+    config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+    cfg = compose(config_dir, "default", argv)
+
+    runner_cfg = cfg.get("runner") or {}
+    if not runner_cfg.get("model_class"):
+        raise SystemExit(
+            "no model selected — run with `runner=mgfn` "
+            "(the default runner group has model_class: null, matching the "
+            "reference configs/runner/default.yaml)"
+        )
+
+    model_config = instantiate(runner_cfg["model_config"])
+    model = locate(runner_cfg["model_class"])(model_config)
+
+    data_cfg = cfg.get("data", {})
+    trainer_cfg = cfg.get("trainer", {})
+
+    from anomaly_detection_on_video_tpu.data import build_feature_dataset
+    from anomaly_detection_on_video_tpu.training import VideoAnomalyDetectionRunner
+    from anomaly_detection_on_video_tpu.training.checkpoints import TopKCheckpointer
+    from anomaly_detection_on_video_tpu.training.loggers import (
+        ConsoleLogger,
+        JsonlLogger,
+        WandbLogger,
+    )
+
+    loggers = [ConsoleLogger()]
+    log_path = trainer_cfg.get("log_path", "logs/metrics.jsonl")
+    if log_path:
+        loggers.append(JsonlLogger(log_path))
+    if cfg.get("wandb_key"):
+        choices = cfg.get("_choices_", {})
+        run_name = f"{choices.get('data', 'data')}-{choices.get('runner', 'runner')}"
+        loggers.append(WandbLogger(name=run_name, key=cfg["wandb_key"]))
+
+    checkpointer = None
+    ckpt_cfg = trainer_cfg.get("checkpoint", {})
+    if ckpt_cfg.get("dirpath"):
+        checkpointer = TopKCheckpointer(
+            ckpt_cfg["dirpath"],
+            top_k=int(ckpt_cfg.get("save_top_k", 10)),
+        )
+
+    mesh = None
+    if trainer_cfg.get("data_parallel", False):
+        import jax
+
+        from anomaly_detection_on_video_tpu.parallel import local_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = local_mesh()
+
+    runner = VideoAnomalyDetectionRunner(
+        model,
+        optimizer_cfg=runner_cfg.get("optimizer", {}),
+        data_cfg=data_cfg,
+        mesh=mesh,
+        loggers=loggers,
+        checkpointer=checkpointer,
+        seed=int(cfg.get("seed", 0)),
+    )
+
+    def data_kwargs(mode):
+        return dict(
+            local_path=data_cfg.get(f"{mode}_path") or data_cfg.get("local_path"),
+            cache_dir=data_cfg.get("cache_dir"),
+            revision=data_cfg.get("revision", "main"),
+            dynamic_load=bool(data_cfg.get("dynamic_load", False)),
+        )
+
+    train_datasets = build_feature_dataset("train", **data_kwargs("train"))
+    valid_dataset = build_feature_dataset(
+        "test",
+        ground_truth_path=data_cfg.get("ground_truth_path"),
+        **data_kwargs("test"),
+    )
+
+    result = runner.fit(
+        train_datasets,
+        valid_dataset=valid_dataset,
+        max_epochs=int(trainer_cfg.get("max_epochs", 1000)),
+        batch_size=int(data_cfg.get("batch_size", 16)),
+        shuffle=bool(data_cfg.get("shuffle", False)),
+        eval_every=int(trainer_cfg.get("eval_every", 1)),
+        frames_per_clip=int(data_cfg.get("frames_per_clip", 16)),
+    )
+    if result is not None:
+        print(f"final valid/rec_auc={result.rec_auc:.4f} valid/pr_auc={result.pr_auc:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Checkpoint converter CLI (role of reference scripts/convert_official_to_hf.py).
+
+Converts torch state dicts to flax msgpack variable files:
+
+    python scripts/convert_checkpoint.py --kind mgfn-official mgfn.pt out.msgpack
+    python scripts/convert_checkpoint.py --kind mgfn-hf hf_mgfn.pt out.msgpack
+    python scripts/convert_checkpoint.py --kind i3d converted_ref_i3d.pt out.msgpack
+
+Load back with ``anomaly_detection_on_video_tpu.utils.serialization.load_variables``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("src", help="torch .pt state dict")
+    parser.add_argument("dst", help="output .msgpack variables file")
+    parser.add_argument(
+        "--kind",
+        required=True,
+        choices=["i3d", "mgfn-hf", "mgfn-official"],
+    )
+    args = parser.parse_args(argv)
+
+    import torch
+
+    from anomaly_detection_on_video_tpu.utils.convert import (
+        convert_i3res50_state_dict,
+        convert_mgfn_state_dict,
+        convert_official_mgfn_state_dict,
+    )
+    from anomaly_detection_on_video_tpu.utils.serialization import save_variables
+
+    state_dict = torch.load(args.src, map_location="cpu", weights_only=True)
+    if hasattr(state_dict, "state_dict"):
+        state_dict = state_dict.state_dict()
+
+    converter = {
+        "i3d": convert_i3res50_state_dict,
+        "mgfn-hf": convert_mgfn_state_dict,
+        "mgfn-official": convert_official_mgfn_state_dict,
+    }[args.kind]
+    variables = converter(state_dict)
+    save_variables(args.dst, variables)
+    print(f"converted {args.kind} checkpoint -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

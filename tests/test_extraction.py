@@ -1,0 +1,68 @@
+"""Feature-extractor pipeline tests: padding, grouping, pipeline parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anomaly_detection_on_video_tpu.data.extraction import FeatureExtractor
+from anomaly_detection_on_video_tpu.ops.gtransforms import preprocess_frames
+from anomaly_detection_on_video_tpu.ops.resize import (
+    resize_bilinear_exact,
+    resize_bilinear_fast,
+)
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    return FeatureExtractor(dtype=jnp.float32, batch=20)
+
+
+def test_pad_frames_loop_pad_semantics(extractor, rng):
+    frames = rng.randint(0, 256, (21, 8, 8, 3), np.uint8)  # 2 clips, tail 5
+    padded = extractor.pad_frames(frames)
+    # tail clip: positions i -> tail[i % 5]
+    tail = frames[16:]
+    clip2 = padded[16:32]
+    for i in range(16):
+        np.testing.assert_array_equal(clip2[i], tail[i % 5])
+    # group padding: repeats of the last clip up to group_clips clips
+    assert padded.shape[0] == extractor.group_clips * 16
+
+
+def test_extract_frames_matches_reference_pipeline(extractor, rng):
+    """The grouped no-gather pipeline must equal the straightforward fused
+    preprocess + per-clip forward (which itself is PIL-oracle-tested)."""
+    frames = rng.randint(0, 256, (40, 64, 96, 3), np.uint8)  # 3 clips, tail 8
+    feats = extractor.extract_frames(frames)
+    assert feats.shape == (3, 10, 2048)
+
+    clips = preprocess_frames(frames)  # (3, 10, 16, 224, 224, 3)
+    flat = jnp.reshape(clips, (30, 16, 224, 224, 3))
+    golden = extractor.model.apply(extractor.variables, flat).reshape(3, 10, -1)
+    np.testing.assert_allclose(feats, np.asarray(golden), rtol=1e-5, atol=1e-5)
+
+
+def test_fast_resize_close_to_exact(rng):
+    img = jnp.asarray(rng.randint(0, 256, (4, 120, 160, 3), np.uint8))
+    exact = np.asarray(resize_bilinear_exact(img, 256, 341)).astype(int)
+    fast = np.asarray(resize_bilinear_fast(img, 256, 341)).astype(int)
+    diff = np.abs(exact - fast)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+
+
+def test_extract_video_chunked_equals_whole(extractor, rng, tmp_path):
+    import cv2
+
+    path = str(tmp_path / "v.avi")
+    # MJPG intra-frame codec: decode is seek-independent and deterministic
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for i in range(40):
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+
+    whole = extractor.extract_video(path)
+    chunked = extractor.extract_video(path, chunk_frames=16)
+    assert whole.shape[0] == chunked.shape[0] == 3
+    np.testing.assert_allclose(whole, chunked, rtol=1e-5, atol=1e-5)

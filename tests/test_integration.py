@@ -1,0 +1,152 @@
+"""End-to-end integration: video -> features -> GT -> training -> AUC.
+
+The full reference workflow (SURVEY.md §4 integration tier) on synthetic
+videos through the actual CLI entry points, all on CPU.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    PYTHONPATH=REPO,
+)
+
+
+def write_video(path, n_frames=40, size=(64, 48), seed=0):
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"MJPG"), 30, size
+    )
+    assert writer.isOpened()
+    for _ in range(n_frames):
+        writer.write(rng.randint(0, 255, (size[1], size[0], 3), np.uint8))
+    writer.release()
+
+
+def run_cli(script, *args):
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True,
+        text=True,
+        env=ENV,
+        cwd=REPO,
+        timeout=1200,
+    )
+    assert result.returncode == 0, (
+        f"{script} failed:\nSTDOUT:{result.stdout}\nSTDERR:{result.stderr}"
+    )
+    return result
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    # names follow UCF conventions: Normal_* vs <class>* (abnormal)
+    specs = [
+        ("Normal_Videos_001_x264.avi", 40),
+        ("Normal_Videos_002_x264.avi", 35),
+        ("Abuse001_x264.avi", 40),
+        ("Abuse002_x264.avi", 50),
+    ]
+    for i, (name, frames) in enumerate(specs):
+        write_video(videos / name, n_frames=frames, seed=i)
+
+    out = tmp_path / "features"
+
+    # 1. extraction CLI: train split (with segments)
+    run_cli(
+        "extract_features.py",
+        "--videos", str(videos),
+        "--outdir", str(out),
+        "--split", "train",
+        "--dtype", "float32",
+        "--batch", "8",
+    )
+    train_dir = out / "train"
+    files = sorted(os.listdir(train_dir))
+    assert files == sorted(f"{n[:-4]}_i3d.npy" for n, _ in specs)
+    feats = np.load(train_dir / "Abuse002_x264_i3d.npy")
+    assert feats.shape == (4, 10, 2048)  # ceil(50/16) clips
+    seg_dir = out / "segment_features_32"
+    segs = np.load(seg_dir / "Abuse002_x264_i3d.npy")
+    assert segs.shape == (10, 32, 2048)
+
+    # idempotency: second run extracts nothing new
+    result = run_cli(
+        "extract_features.py",
+        "--videos", str(videos), "--outdir", str(out), "--split", "train",
+        "--dtype", "float32", "--batch", "8", "--no-segments",
+    )
+    assert "extracted 0 new" in result.stdout
+
+    # 2. reuse clip features as the "test" split + GT builder CLI
+    test_dir = out / "test"
+    test_dir.mkdir()
+    for f in files:
+        np.save(test_dir / f, np.load(train_dir / f))
+    annot = tmp_path / "annots.txt"
+    lines = []
+    for name, frames in specs:
+        stem = name[:-4]
+        n_clips = -(-frames // 16)
+        if "Normal" in name:
+            lines.append(f"{stem}.mp4  Normal  -1  -1  -1  -1")
+        else:
+            lines.append(f"{stem}.mp4  Abuse  4  {n_clips * 16 - 2}  -1  -1")
+    annot.write_text("\n".join(lines) + "\n")
+    gt_path = tmp_path / "gt.json"
+    run_cli(
+        "make_gt_ucf.py",
+        "--annotations", str(annot),
+        "--features", str(test_dir),
+        "--out", str(gt_path),
+    )
+    gt = json.load(open(gt_path))
+    assert len(gt) == 4
+    assert len(gt["Abuse002_x264"]) == 4 * 16
+
+    # 3. training CLI: tiny MGFN over the segment features, eval on test
+    run_dir = tmp_path / "run"
+    result = run_cli(
+        "run.py",
+        "runner=mgfn",
+        f"data.train_path={seg_dir}",
+        f"data.test_path={test_dir}",
+        f"data.ground_truth_path={gt_path}",
+        "data.batch_size=2",
+        "trainer.max_epochs=2",
+        f"trainer.log_path={run_dir}/metrics.jsonl",
+        f"trainer.checkpoint.dirpath={run_dir}/ckpt",
+        # shrink the model so the CPU test is fast
+        "runner.model_config.dims=[16,16,32]",
+        "runner.model_config.depths=[1,1,1]",
+        "runner.model_config.dim_head=8",
+    )
+    assert "valid/rec_auc=" in result.stdout
+    records = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    keys = {k for r in records for k in r}
+    assert {"train_loss", "valid/rec_auc", "valid/pr_auc"} <= keys
+    # checkpoints written
+    assert any(os.scandir(run_dir / "ckpt"))
+
+
+def test_run_cli_requires_model_selection():
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py")],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+    )
+    assert result.returncode != 0
+    assert "runner=mgfn" in result.stderr
