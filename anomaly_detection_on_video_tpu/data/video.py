@@ -87,14 +87,33 @@ def iter_decoded_chunks(
 
 
 class VideoFrameSource:
-    """Double-buffered chunk decoder: a worker thread decodes ahead.
+    """Double-buffered chunk decoder: a worker decodes ahead of the consumer.
 
     The consumer overlaps TPU compute on chunk N with host decode of chunk
     N+1 — the streaming pipeline the BASELINE.json north star asks for.
+    Uses the native framepipe engine (C++/FFmpeg with its own decode thread
+    and chunk ring, native/framepipe/) when available, else a Python thread
+    over cv2.
     """
 
-    def __init__(self, path: str, chunk_frames: int = CHUNK_FRAMES, depth: int = 2):
+    def __init__(
+        self,
+        path: str,
+        chunk_frames: int = CHUNK_FRAMES,
+        depth: int = 2,
+        native: Optional[bool] = None,
+    ):
         self.path = path
+        self._native = None
+        if native is not False:
+            try:
+                from .framepipe import NativeFrameSource
+
+                self._native = NativeFrameSource(path, chunk_frames, depth)
+                return
+            except (RuntimeError, FileNotFoundError):
+                if native is True:
+                    raise
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(
             target=self._worker, args=(chunk_frames,), daemon=True
@@ -110,6 +129,9 @@ class VideoFrameSource:
             self._queue.put(exc)
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if self._native is not None:
+            yield from self._native
+            return
         while True:
             item = self._queue.get()
             if item is None:
