@@ -15,7 +15,6 @@ for >1 GB videos (reference :131-148), skip-if-exists resumability.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Iterable, Optional, Sequence
 
@@ -50,16 +49,30 @@ class FeatureExtractor:
         cropsize: int = 224,
         precise_resize: bool = True,
         use_pallas_crop: bool = False,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+        stream: str = "rgb",
     ):
+        if stream not in ("rgb", "flow"):
+            raise ValueError(f"stream must be rgb or flow, got {stream!r}")
+        self.stream = stream
+        self.channels = 3 if stream == "rgb" else 2
         self.model = build_i3d_feature_extractor(model_name, dtype=dtype)
         if variables is None:
             variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0),
-                jnp.zeros((1, frames_per_clip, cropsize, cropsize, 3), jnp.float32),
+                jnp.zeros(
+                    (1, frames_per_clip, cropsize, cropsize, self.channels),
+                    jnp.float32,
+                ),
             )
         self.variables = variables
-        # B=240 saturates the v5e MXU (~1800 crop-fwd/s); 24 clips x 10 crops
-        self.group_clips = max(1, batch // 10)
+        self.mesh = mesh
+        n_shards = 1 if mesh is None else int(mesh.devices.size)
+        # B=240 saturates one v5e's MXU (~1800 crop-fwd/s); 24 clips x 10
+        # crops per chip. With a mesh the clip axis shards over devices
+        # (SURVEY.md §2.2 SP/CP row: clips are independent, the natural
+        # extraction parallel axis), so groups grow by the mesh size.
+        self.group_clips = max(1, batch // 10) * n_shards
         self.batch = self.group_clips * 10
         self.frames_per_clip = frames_per_clip
         self.resize = resize
@@ -87,7 +100,7 @@ class FeatureExtractor:
             fpc, gc = self.frames_per_clip, self.group_clips
             n_groups = frames.shape[0] // (gc * fpc)
             resized = resize_fn(frames, out_h, out_w)  # uint8
-            return resized.reshape(n_groups, gc, fpc, out_h, out_w, 3)
+            return resized.reshape(n_groups, gc, fpc, out_h, out_w, self.channels)
 
         @jax.jit
         def _forward(variables, grouped):
@@ -99,7 +112,7 @@ class FeatureExtractor:
             n_groups = grouped.shape[0]
 
             def body(frames_g):
-                if use_pallas_crop:
+                if use_pallas_crop and self.channels == 3:
                     # fused Pallas kernel (ops/pallas/crop_norm.py): one pass
                     # from resized uint8 to the bf16 batch; measured at parity
                     # with the XLA path on v5e (both HBM-bandwidth-bound)
@@ -109,15 +122,32 @@ class FeatureExtractor:
                         frames_g, self.cropsize, jnp.dtype(self.model.dtype).name
                     )
                 else:
-                    crops = ten_crop(frames_g, self.cropsize)  # (10, gc, fpc, c, c, 3)
-                    x = standardize(crops).astype(self.model.dtype)
+                    crops = ten_crop(frames_g, self.cropsize)  # (10, gc, fpc, c, c, C)
+                    if self.stream == "flow":
+                        # dequantize uint8 flow back to [-1, 1] (data/flow.py)
+                        x = crops.astype(jnp.float32) / 127.5 - 1.0
+                        x = x.astype(self.model.dtype)
+                    else:
+                        x = standardize(crops).astype(self.model.dtype)
                     # (10, gc, ...) -> (gc, 10, ...) -> batch (gc * 10)
                     x = jnp.transpose(x, (1, 0, 2, 3, 4, 5))
-                    x = x.reshape(self.batch, fpc, self.cropsize, self.cropsize, 3)
+                    x = x.reshape(
+                        self.batch, fpc, self.cropsize, self.cropsize, self.channels
+                    )
                 return self.model.apply(variables, x).reshape(gc, 10, -1)
 
             feats = jax.lax.map(body, grouped)
             return feats.reshape(n_groups * gc, 10, -1)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # shard the clip axis of every group over the data mesh; the
+            # sharding propagates into the conv batch axis inside the scan
+            _forward = jax.jit(
+                _forward.__wrapped__,
+                in_shardings=(None, NamedSharding(mesh, P(None, "data"))),
+            )
 
         def _extract(variables, frames):
             return _forward(variables, _resize(frames))
@@ -161,27 +191,58 @@ class FeatureExtractor:
         video_path: str,
         chunk_frames: int = CHUNK_FRAMES,
         cache_dir: Optional[str] = None,
+        timer=None,
     ) -> np.ndarray:
         """Whole-video extraction with streaming decode overlap.
 
         ``cache_dir`` enables the reference's per-chunk npy caching for big
         videos (resume after interruption, extract_features.py:131-148).
+        ``timer``: a utils.profiling.StageTimer collecting decode/device ms.
+        For the flow stream, decoded RGB chunks are converted to quantized
+        Farneback flow on the host (frame 0 of each chunk gets zero flow —
+        a chunk-boundary artifact shared with any chunked flow pipeline).
         """
+        transform = None
+        if self.stream == "flow":
+            from .flow import compute_flow, flow_to_uint8
+
+            transform = lambda chunk: flow_to_uint8(compute_flow(chunk))
         outputs = []
         source = VideoFrameSource(video_path, chunk_frames)
-        for i, chunk in enumerate(source):
+        iterator = iter(source)
+        while True:
+            if timer is not None:
+                with timer.stage("decode_wait"):
+                    chunk = next(iterator, None)
+            else:
+                chunk = next(iterator, None)
+            if chunk is None:
+                break
+            if transform is not None:
+                if timer is not None:
+                    with timer.stage("host_transform"):
+                        chunk = transform(chunk)
+                else:
+                    chunk = transform(chunk)
+            i = len(outputs)
             if cache_dir is not None:
                 stem = os.path.splitext(os.path.basename(video_path))[0]
                 chunk_path = os.path.join(cache_dir, stem, f"{stem}_{i}.npy")
                 if os.path.exists(chunk_path):
                     outputs.append(np.load(chunk_path))
                     continue
-                feats = self.extract_frames(chunk)
+                feats = self._timed_extract(chunk, timer)
                 atomic_save(chunk_path, feats)
                 outputs.append(feats)
             else:
-                outputs.append(self.extract_frames(chunk))
+                outputs.append(self._timed_extract(chunk, timer))
         return np.vstack(outputs)
+
+    def _timed_extract(self, chunk: np.ndarray, timer) -> np.ndarray:
+        if timer is None:
+            return self.extract_frames(chunk)
+        with timer.stage("device_extract"):
+            return self.extract_frames(chunk)
 
 
 def extract_videos(
@@ -190,6 +251,7 @@ def extract_videos(
     extractor: Optional[FeatureExtractor] = None,
     chunk_cache_for_large: bool = True,
     progress: bool = True,
+    timer=None,
     **extractor_kwargs,
 ) -> int:
     """Extract features for many videos, idempotently (skip existing).
@@ -214,7 +276,7 @@ def extract_videos(
         if os.path.exists(savepath):
             continue
         cache = outdir if chunk_cache_for_large and is_large_video(path) else None
-        features = extractor.extract_video(path, cache_dir=cache)
+        features = extractor.extract_video(path, cache_dir=cache, timer=timer)
         atomic_save(savepath, features)
         n_done += 1
     return n_done

@@ -215,8 +215,12 @@ def train_batches(
         rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2 ** 31))
         rng.shuffle(n_idx)
         rng.shuffle(a_idx)
-    steps = min(len(n_idx), len(a_idx)) // batch_size
-    if not drop_last and min(len(n_idx), len(a_idx)) % batch_size:
+    # cap both streams at the shorter one: the model's half-batch split
+    # requires equal normal/abnormal counts in every step
+    n_pairs = min(len(n_idx), len(a_idx))
+    n_idx, a_idx = n_idx[:n_pairs], a_idx[:n_pairs]
+    steps = n_pairs // batch_size
+    if not drop_last and n_pairs % batch_size:
         steps += 1
     for step in range(steps):
         sl = slice(step * batch_size, (step + 1) * batch_size)

@@ -145,3 +145,51 @@ def is_large_video(path: str, threshold_kb: int = LARGE_VIDEO_KB) -> bool:
     """Reference chunking predicate: size in KB > 1024**2
     (extract_features.py:116, size field is KB)."""
     return os.path.getsize(path) / 1024 > threshold_kb
+
+
+class TenCropVideoFrameDataset:
+    """API-parity shim for the reference's clip dataset
+    (src/dataset.py:145-195): indexable clips of a video, each preprocessed
+    to the ten-crop tensor. The TPU-native pipeline (data/extraction.py)
+    processes whole frame stacks instead — this class exists for users
+    porting per-clip code; it decodes eagerly like the reference.
+
+    Items are channels-last ``(10, frames_per_clip, H, W, 3)`` float32
+    (the reference returns channels-first, (10, T, 3, H, W)).
+    """
+
+    def __init__(
+        self,
+        video_path_or_frames,
+        frames_per_clip: int = 16,
+        resize: int = 256,
+        cropsize: int = 224,
+    ):
+        if isinstance(video_path_or_frames, str):
+            frames = decode_video_frames(video_path_or_frames)
+        else:
+            frames = np.asarray(video_path_or_frames)
+            if frames.dtype != np.uint8 or frames.ndim != 4:
+                raise ValueError(
+                    "expected a video path or a uint8 (frames, H, W, 3) array"
+                )
+        self.frames = frames
+        self.frames_per_clip = frames_per_clip
+        self.resize = resize
+        self.cropsize = cropsize
+        n_frames = frames.shape[0]
+        self._n_clips = (n_frames - 1) // frames_per_clip + 1
+
+    def __len__(self) -> int:
+        return self._n_clips
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from ..ops.gtransforms import preprocess_frames
+
+        if not 0 <= idx < self._n_clips:
+            raise IndexError(idx)
+        clip = self.frames[idx * self.frames_per_clip : (idx + 1) * self.frames_per_clip]
+        out = preprocess_frames(
+            clip, self.resize, self.cropsize, self.frames_per_clip
+        )
+        return np.asarray(out[0])

@@ -355,14 +355,21 @@ class MGFNForVideoAnomalyDetection(nn.Module):
         for the valid prefix are bit-identical to an unpadded run (masked
         attention + zeroed pads before every temporal conv), so a handful of
         bucket shapes serve every video — one XLA compile per bucket instead
-        of one per distinct video length."""
+        of one per distinct video length. ``length`` may be a scalar or a
+        per-video vector (bs,) so same-bucket videos batch together."""
         cfg = self.config
         bs, ncrops, t, _ = video.shape
         x = video.reshape(bs * ncrops, t, video.shape[-1])
         mask = None
         if length is not None:
-            positions = jnp.arange(t)[None, :, None]
-            mask = (positions < length).astype(x.dtype)  # (1, t, 1)
+            length = jnp.asarray(length)
+            positions = jnp.arange(t)[None, :, None]  # (1, t, 1)
+            if length.ndim == 0:
+                mask = (positions < length).astype(x.dtype)  # (1, t, 1)
+            else:
+                per_video = positions < length[:, None, None]  # (bs, t, 1)
+                # row b*ncrops+crop of x carries video b's clips
+                mask = jnp.repeat(per_video, ncrops, axis=0).astype(x.dtype)
         x = MGFNModel(cfg, name="backbone")(
             x, deterministic=not train, use_running_average=not train, mask=mask
         )
@@ -374,9 +381,14 @@ class MGFNForVideoAnomalyDetection(nn.Module):
         feat_magnitudes = feat_magnitudes.reshape(bs, ncrops, t).mean(axis=1)
         scores_avg = scores.reshape(bs, ncrops, t).mean(axis=1)[..., None]
         if mask is not None:
-            # padded positions must never win the top-k selection
-            feat_magnitudes = jnp.where(mask[..., 0] > 0, feat_magnitudes, -1.0)
-            scores_avg = scores_avg * mask
+            # per-video validity over (bs, t): padded positions must never
+            # win the top-k selection
+            if length.ndim == 0:
+                video_mask = (jnp.arange(t)[None, :] < length)
+            else:
+                video_mask = jnp.arange(t)[None, :] < length[:, None]
+            feat_magnitudes = jnp.where(video_mask, feat_magnitudes, -1.0)
+            scores_avg = scores_avg * video_mask[..., None]
 
         if force_split or train:
             half = bs // 2

@@ -120,3 +120,26 @@ def preprocess_frames(
     clips = standardize(clips)
     # -> (n_clips, 10, frames_per_clip, c, c, 3)
     return jnp.transpose(clips, (1, 0, 2, 3, 4, 5))
+
+
+def pixel_minmax(x: jnp.ndarray, new_min: float = 0.0, new_max: float = 1.0) -> jnp.ndarray:
+    """Per-image min-max normalization over all pixels of each crop image.
+
+    API-parity port of the reference's unused GroupPixelMinmaxTenCrop
+    alternative (src/gtransforms.py:76-86); operates per (..., H, W, C) image.
+    """
+    lo = jnp.min(x, axis=(-3, -2, -1), keepdims=True)
+    hi = jnp.max(x, axis=(-3, -2, -1), keepdims=True)
+    x = (x.astype(jnp.float32) - lo) / (hi - lo)
+    return x * (new_max - new_min) + new_min
+
+
+def rgb_channel_minmax(
+    x: jnp.ndarray, new_min: float = 0.0, new_max: float = 1.0
+) -> jnp.ndarray:
+    """Per-channel min-max normalization (reference alternative
+    GroupRGBChannelMinmaxTenCrop, src/gtransforms.py:89-112)."""
+    lo = jnp.min(x, axis=(-3, -2), keepdims=True)
+    hi = jnp.max(x, axis=(-3, -2), keepdims=True)
+    x = (x.astype(jnp.float32) - lo) / (hi - lo)
+    return x * (new_max - new_min) + new_min

@@ -109,11 +109,21 @@ def make_train_step(mesh: Optional[jax.sharding.Mesh] = None):
     )
 
 
-def make_eval_step():
+def make_eval_step(mesh: Optional[jax.sharding.Mesh] = None):
     def score(variables, apply_fn, feature, length):
         return apply_fn(variables, feature, length=length).scores
 
-    return jax.jit(score, static_argnums=(1,))
+    if mesh is None:
+        return jax.jit(score, static_argnums=(1,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        score,
+        static_argnums=(1,),
+        in_shardings=(None, batch, batch),
+    )
 
 
 def eval_bucket(n_clips: int, minimum: int = 32) -> int:
@@ -131,6 +141,7 @@ def evaluate(
     dataset,
     frames_per_clip: int = 16,
     eval_step=None,
+    batch_videos: int = 1,
 ) -> "EvalResult":
     """Frame-level ROC/PR AUC over the test set (src/runner.py:62-79).
 
@@ -138,31 +149,50 @@ def evaluate(
     frame level, concatenated over videos in dataset order, and scored
     against the concatenated GT lists. Videos run through padded length
     buckets; masking makes the padded scores bit-equal to unpadded runs
-    (see MGFNForVideoAnomalyDetection.__call__).
+    (see MGFNForVideoAnomalyDetection.__call__). ``batch_videos > 1`` groups
+    same-bucket videos into one device batch (with a mesh, the batch axis is
+    the data-parallel axis), a throughput upgrade the reference's batch-1
+    loop (src/runner.py:127-132) cannot express.
     """
     eval_step = eval_step or make_eval_step()
-    all_preds, all_labels = [], []
+    per_video: Dict[str, np.ndarray] = {}
+
+    # group videos by bucket so one compiled shape serves each group
+    buckets: Dict[int, list] = {}
+    order = []
     for batch in eval_batches(dataset):
-        feature = batch["feature"]  # (1, 10, n_clips, C)
-        n_clips = feature.shape[2]
-        bucket = eval_bucket(n_clips)
-        if bucket != n_clips:
-            pad = np.zeros(
-                (feature.shape[0], feature.shape[1], bucket - n_clips, feature.shape[3]),
-                feature.dtype,
-            )
-            feature = np.concatenate([feature, pad], axis=2)
-        scores = eval_step(
-            state.variables, state.apply_fn, jnp.asarray(feature),
-            jnp.int32(n_clips),
-        )
-        preds = np.asarray(scores).squeeze(0).squeeze(-1)[:n_clips]
-        all_preds.append(frame_level_scores(preds, frames_per_clip))
         if batch["label"] is None:
             raise ValueError(
                 f"video {batch['filename']!r} has no frame-level ground truth"
             )
-        all_labels.append(np.asarray(batch["label"]).ravel())
+        n_clips = batch["feature"].shape[2]
+        buckets.setdefault(eval_bucket(n_clips), []).append(batch)
+        order.append((batch["filename"], np.asarray(batch["label"]).ravel()))
+
+    for bucket, items in buckets.items():
+        for start in range(0, len(items), batch_videos):
+            group = items[start : start + batch_videos]
+            n_group = len(group)
+            feats = np.zeros(
+                (n_group, 10, bucket, group[0]["feature"].shape[3]), np.float32
+            )
+            lengths = np.zeros((n_group,), np.int32)
+            for k, item in enumerate(group):
+                n_clips = item["feature"].shape[2]
+                feats[k, :, :n_clips] = item["feature"][0]
+                lengths[k] = n_clips
+            scores = eval_step(
+                state.variables, state.apply_fn,
+                jnp.asarray(feats), jnp.asarray(lengths),
+            )
+            scores = np.asarray(scores)  # (n_group, bucket, 1)
+            for k, item in enumerate(group):
+                per_video[item["filename"]] = scores[k, : lengths[k], 0]
+
+    all_preds, all_labels = [], []
+    for filename, label in order:
+        all_preds.append(frame_level_scores(per_video[filename], frames_per_clip))
+        all_labels.append(label)
     preds = np.concatenate(all_preds)
     labels = np.concatenate(all_labels)
     if preds.shape != labels.shape:
@@ -254,7 +284,9 @@ class VideoAnomalyDetectionRunner:
         normal, abnormal = train_datasets["normal"], train_datasets["abnormal"]
         rng = jax.random.PRNGKey(self.seed + 2)
         last_eval: Optional[EvalResult] = None
-        step = 0
+        # continue step numbering after a resume so new checkpoints don't
+        # collide with (or overwrite) the restored ones
+        step = int(self.state.step) if self.state is not None else 0
         for epoch in range(max_epochs):
             epoch_losses = []
             t0 = time.time()
@@ -287,7 +319,8 @@ class VideoAnomalyDetectionRunner:
             }
             if valid_dataset is not None and (epoch + 1) % eval_every == 0:
                 last_eval = evaluate(
-                    self.state, valid_dataset, frames_per_clip, self._eval_step
+                    self.state, valid_dataset, frames_per_clip, self._eval_step,
+                    batch_videos=8,
                 )
                 metrics["valid/rec_auc"] = last_eval.rec_auc
                 metrics["valid/pr_auc"] = last_eval.pr_auc

@@ -9,3 +9,7 @@ __all__ = [
     "convert_mgfn_state_dict",
     "convert_official_mgfn_state_dict",
 ]
+
+from .convert import convert_pytorchvideo_resnet_state_dict  # noqa: E402
+
+__all__.append("convert_pytorchvideo_resnet_state_dict")

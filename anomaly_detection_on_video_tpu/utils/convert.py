@@ -249,3 +249,58 @@ def convert_official_mgfn_state_dict(state_dict: Mapping[str, Any]) -> Dict[str,
                     if info[-2] in ffn_names:
                         remapped[prefix + f"ffn.{ffn_names[info[-2]]}.{info[-1]}"] = tensor
     return convert_mgfn_state_dict(remapped)
+
+
+def convert_pytorchvideo_resnet_state_dict(
+    state_dict: Mapping[str, Any]
+) -> Dict[str, Any]:
+    """Convert a pytorchvideo ``create_resnet`` state dict (the reference's
+    i3d_8x8_r50 weights, src/i3d.py:339-350, file I3D_8x8_R50.pyth) to flax
+    variables for models/i3d.py.
+
+    pytorchvideo names: ``blocks.0.{conv,norm}`` (stem),
+    ``blocks.{1..4}.res_blocks.{i}.branch1_{conv,norm}`` (projection) and
+    ``.branch2.{conv,norm}_{a,b,c}`` (bottleneck); ``blocks.5`` is the head
+    (replaced by the reference's parameter-free pooler, nothing to map).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_conv(prefix: Tuple[str, ...], key: str) -> None:
+        _set(params, prefix + ("conv", "kernel"), _conv3d(_np(state_dict[key])))
+
+    def put_bn(prefix: Tuple[str, ...], torch_prefix: str) -> None:
+        _set(params, prefix + ("bn", "scale"), _np(state_dict[torch_prefix + ".weight"]))
+        _set(params, prefix + ("bn", "bias"), _np(state_dict[torch_prefix + ".bias"]))
+        _set(stats, prefix + ("bn", "mean"), _np(state_dict[torch_prefix + ".running_mean"]))
+        _set(stats, prefix + ("bn", "var"), _np(state_dict[torch_prefix + ".running_var"]))
+
+    put_conv(("stem",), "blocks.0.conv.weight")
+    put_bn(("stem",), "blocks.0.norm")
+
+    branch_of = {"a": "branch_a", "b": "branch_b", "c": "branch_c"}
+    block_re = re.compile(r"^blocks\.([1-4])\.res_blocks\.(\d+)\.(.*)$")
+    for key in state_dict:
+        m = block_re.match(key)
+        if not m:
+            continue
+        stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        prefix = (f"stage{stage}_block{block}",)
+        torch_base = f"blocks.{stage}.res_blocks.{block}"
+        if rest == "branch1_conv.weight":
+            put_conv(prefix + ("proj",), key)
+        elif rest == "branch1_norm.weight":
+            put_bn(prefix + ("proj",), torch_base + ".branch1_norm")
+        else:
+            cm = re.match(r"^branch2\.conv_([abc])\.weight$", rest)
+            if cm:
+                put_conv(prefix + (branch_of[cm.group(1)],), key)
+                continue
+            bm = re.match(r"^branch2\.norm_([abc])\.weight$", rest)
+            if bm:
+                put_bn(
+                    prefix + (branch_of[bm.group(1)],),
+                    torch_base + f".branch2.norm_{bm.group(1)}",
+                )
+
+    return {"params": params, "batch_stats": stats}

@@ -48,18 +48,24 @@ def load_weights(path: str | None, model_name: str):
             file=sys.stderr,
         )
         return None
+    if path.endswith(".msgpack"):
+        from anomaly_detection_on_video_tpu.utils.serialization import load_variables
+
+        return load_variables(path)
+
     import torch
 
     from anomaly_detection_on_video_tpu.utils.convert import (
         convert_i3res50_state_dict,
+        convert_pytorchvideo_resnet_state_dict,
     )
 
     state_dict = torch.load(path, map_location="cpu", weights_only=True)
-    if model_name != "tushar-n-baseline":
-        raise SystemExit(
-            "weight conversion currently implemented for tushar-n-baseline"
-        )
-    return convert_i3res50_state_dict(state_dict)
+    if isinstance(state_dict, dict) and "model_state" in state_dict:
+        state_dict = state_dict["model_state"]  # pytorchvideo .pyth layout
+    if model_name == "tushar-n-baseline":
+        return convert_i3res50_state_dict(state_dict)
+    return convert_pytorchvideo_resnet_state_dict(state_dict)
 
 
 def main(argv=None) -> None:
@@ -74,12 +80,20 @@ def main(argv=None) -> None:
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="compute dtype (float32 for bit-parity runs)")
-    parser.add_argument("--batch", type=int, default=32,
-                        help="(clip, crop) forwards per device step")
+    parser.add_argument("--batch", type=int, default=240,
+                        help="(clip, crop) forwards per device step "
+                             "(240 saturates a v5e)")
     parser.add_argument("--segment-length", type=int, default=32)
     parser.add_argument("--no-segments", action="store_true")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the clip axis over all local devices")
+    parser.add_argument("--profile", action="store_true",
+                        help="report decode/device stage timers")
+    parser.add_argument("--stream", default="rgb", choices=["rgb", "flow"],
+                        help="two-stream support: RGB or optical-flow stream")
     args = parser.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from anomaly_detection_on_video_tpu.data.extraction import (
@@ -88,6 +102,12 @@ def main(argv=None) -> None:
         segment_video_features,
     )
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from anomaly_detection_on_video_tpu.parallel import local_mesh
+
+        mesh = local_mesh()
+
     extractor = FeatureExtractor(
         model_name=args.model,
         variables=load_weights(args.weights, args.model),
@@ -95,7 +115,15 @@ def main(argv=None) -> None:
         batch=args.batch,
         # float32 runs are parity runs: use the PIL-bit-exact resize
         precise_resize=(args.dtype == "float32"),
+        mesh=mesh,
+        stream=args.stream,
     )
+
+    timer = None
+    if args.profile:
+        from anomaly_detection_on_video_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
 
     if args.hf_dataset:
         from datasets import load_dataset  # network mode
@@ -104,7 +132,7 @@ def main(argv=None) -> None:
         for mode, split in dataset.items():
             videos = [s["video_path"] for s in split]
             outdir = os.path.join(args.outdir, "anomaly_features", mode)
-            n = extract_videos(videos, outdir, extractor)
+            n = extract_videos(videos, outdir, extractor, timer=timer)
             print(f"{mode}: extracted {n} new videos -> {outdir}")
         train_dir = os.path.join(args.outdir, "anomaly_features", "train")
     else:
@@ -112,9 +140,12 @@ def main(argv=None) -> None:
             parser.error("one of --videos / --hf-dataset is required")
         videos = find_videos(args.videos)
         outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
-        n = extract_videos(videos, outdir, extractor)
+        n = extract_videos(videos, outdir, extractor, timer=timer)
         print(f"extracted {n} new videos ({len(videos)} total) -> {outdir}")
         train_dir = outdir if args.split in (None, "train") else None
+
+    if timer is not None:
+        print("pipeline stages:", timer.report())
 
     if train_dir and not args.no_segments:
         seg_dir = os.path.join(

@@ -99,6 +99,21 @@ def main(argv=None) -> None:
         **data_kwargs("test"),
     )
 
+    if trainer_cfg.get("resume") and checkpointer is not None:
+        # initialize state from an example batch, then restore the latest
+        # checkpoint into it (params/opt_state/batch_stats/step)
+        from anomaly_detection_on_video_tpu.data import train_batches
+
+        example = next(
+            train_batches(
+                train_datasets["normal"], train_datasets["abnormal"],
+                batch_size=int(data_cfg.get("batch_size", 16)),
+            )
+        )
+        runner.init_state(example["feature"])
+        runner.restore(checkpointer.restore_latest(runner.state))
+        print(f"resumed from step {int(runner.state.step)}")
+
     result = runner.fit(
         train_datasets,
         valid_dataset=valid_dataset,

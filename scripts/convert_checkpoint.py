@@ -26,7 +26,7 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--kind",
         required=True,
-        choices=["i3d", "mgfn-hf", "mgfn-official"],
+        choices=["i3d", "i3d-8x8", "mgfn-hf", "mgfn-official"],
     )
     args = parser.parse_args(argv)
 
@@ -36,15 +36,19 @@ def main(argv=None) -> None:
         convert_i3res50_state_dict,
         convert_mgfn_state_dict,
         convert_official_mgfn_state_dict,
+        convert_pytorchvideo_resnet_state_dict,
     )
     from anomaly_detection_on_video_tpu.utils.serialization import save_variables
 
     state_dict = torch.load(args.src, map_location="cpu", weights_only=True)
     if hasattr(state_dict, "state_dict"):
         state_dict = state_dict.state_dict()
+    if isinstance(state_dict, dict) and "model_state" in state_dict:
+        state_dict = state_dict["model_state"]  # pytorchvideo .pyth layout
 
     converter = {
         "i3d": convert_i3res50_state_dict,
+        "i3d-8x8": convert_pytorchvideo_resnet_state_dict,
         "mgfn-hf": convert_mgfn_state_dict,
         "mgfn-official": convert_official_mgfn_state_dict,
     }[args.kind]

@@ -145,3 +145,31 @@ def test_build_ground_truth_from_dir(tmp_path):
     assert len(gt["Abuse028_x264"]) == 80  # 5 clips * 16
     arr = np.asarray(gt["Abuse028_x264"])
     assert arr[10:21].sum() == 11 and arr[40:51].sum() == 11 and arr.sum() == 22
+
+
+def test_ten_crop_video_frame_dataset_shim(rng):
+    from anomaly_detection_on_video_tpu.data.video import TenCropVideoFrameDataset
+
+    frames = rng.randint(0, 256, (20, 240, 320, 3), np.uint8)
+    ds = TenCropVideoFrameDataset(frames)
+    assert len(ds) == 2
+    item = ds[1]  # tail clip of 4 frames, loop-padded
+    assert item.shape == (10, 16, 224, 224, 3)
+    np.testing.assert_allclose(item[:, 4], item[:, 0], atol=1e-6)
+    with pytest.raises(IndexError):
+        ds[2]
+
+
+def test_minmax_transform_parity(rng):
+    from anomaly_detection_on_video_tpu.ops.gtransforms import (
+        pixel_minmax,
+        rgb_channel_minmax,
+    )
+
+    x = rng.rand(2, 8, 8, 3).astype(np.float32) * 255
+    out = np.asarray(pixel_minmax(x))
+    assert out.min() == 0.0 and out.max() == 1.0
+    out_c = np.asarray(rgb_channel_minmax(x))
+    for c in range(3):
+        assert abs(out_c[0, ..., c].min()) < 1e-6
+        assert abs(out_c[0, ..., c].max() - 1.0) < 1e-6

@@ -66,3 +66,47 @@ def test_extract_video_chunked_equals_whole(extractor, rng, tmp_path):
     chunked = extractor.extract_video(path, chunk_frames=16)
     assert whole.shape[0] == chunked.shape[0] == 3
     np.testing.assert_allclose(whole, chunked, rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_sharded_extraction_matches_single(rng):
+    """Clip-axis sharding over the 8-device CPU mesh must be numerically
+    equivalent to single-device extraction."""
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.parallel import local_mesh
+
+    frames = rng.randint(0, 256, (40, 64, 96, 3), np.uint8)
+    single = FeatureExtractor(dtype=jnp.float32, batch=10)
+    mesh = local_mesh()
+    sharded = FeatureExtractor(
+        dtype=jnp.float32, batch=10, mesh=mesh,
+        variables=single.variables,
+    )
+    assert sharded.group_clips == single.group_clips * mesh.devices.size
+    a = single.extract_frames(frames)
+    b = sharded.extract_frames(frames)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_flow_stream_extraction(rng):
+    """Two-stream support: Farneback flow -> quantize -> 2-channel I3D."""
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.flow import (
+        compute_flow,
+        flow_to_uint8,
+    )
+
+    frames = np.zeros((18, 64, 96, 3), np.uint8)
+    # moving square => nonzero flow
+    for t in range(18):
+        frames[t, 20:40, 10 + 2 * t : 30 + 2 * t] = 200
+    flow = compute_flow(frames)
+    assert flow.shape == (18, 64, 96, 2)
+    assert np.abs(flow).max() <= 1.0
+    assert np.abs(flow[1:]).max() > 0.01  # motion detected
+
+    ex = FeatureExtractor(dtype=jnp.float32, batch=10, stream="flow")
+    feats = ex.extract_frames(flow_to_uint8(flow))
+    assert feats.shape == (2, 10, 2048)
+    assert np.isfinite(feats).all()

@@ -92,3 +92,55 @@ def test_i3d_8x8_r50_shapes():
 def test_build_factory_rejects_unknown():
     with pytest.raises(AttributeError):
         build_i3d_feature_extractor("nope")
+
+
+def test_pytorchvideo_converter_round_trip():
+    """Synthesize a pytorchvideo-layout state dict from an initialized flax
+    i3d_8x8_r50 (inverse layout transform), convert it back, and require
+    exact tree equality — validates every name + transpose in the mapping."""
+    from anomaly_detection_on_video_tpu.utils.convert import (
+        convert_pytorchvideo_resnet_state_dict,
+    )
+
+    model = i3d_8x8_r50()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 64, 64, 3)))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def inv_conv(kernel):  # flax (T,H,W,I,O) -> torch (O,I,T,H,W)
+        return np.transpose(np.asarray(kernel), (4, 3, 0, 1, 2))
+
+    state_dict = {}
+
+    def emit_bn(torch_prefix, p, s):
+        state_dict[torch_prefix + ".weight"] = np.asarray(p["scale"])
+        state_dict[torch_prefix + ".bias"] = np.asarray(p["bias"])
+        state_dict[torch_prefix + ".running_mean"] = np.asarray(s["mean"])
+        state_dict[torch_prefix + ".running_var"] = np.asarray(s["var"])
+
+    state_dict["blocks.0.conv.weight"] = inv_conv(params["stem"]["conv"]["kernel"])
+    emit_bn("blocks.0.norm", params["stem"]["bn"], stats["stem"]["bn"])
+    branch_letter = {"branch_a": "a", "branch_b": "b", "branch_c": "c"}
+    for name in params:
+        if not name.startswith("stage"):
+            continue
+        stage = int(name[5])
+        block = int(name.split("block")[1])
+        base = f"blocks.{stage}.res_blocks.{block}"
+        for sub, p in params[name].items():
+            if sub == "proj":
+                state_dict[base + ".branch1_conv.weight"] = inv_conv(p["conv"]["kernel"])
+                emit_bn(base + ".branch1_norm", p["bn"], stats[name][sub]["bn"])
+            else:
+                letter = branch_letter[sub]
+                state_dict[base + f".branch2.conv_{letter}.weight"] = inv_conv(p["conv"]["kernel"])
+                emit_bn(base + f".branch2.norm_{letter}", p["bn"], stats[name][sub]["bn"])
+
+    converted = convert_pytorchvideo_resnet_state_dict(state_dict)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(
+        {"params": converted["params"], "batch_stats": converted["batch_stats"]}
+    )
+    assert len(flat_a) == len(flat_b)
+    for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -148,3 +148,14 @@ def test_runner_fit_end_to_end(rng, tmp_path):
     assert result is not None and 0.0 <= result.rec_auc <= 1.0
     keys = {k for _, m in cap.records for k in m}
     assert {"train_loss", "valid/rec_auc", "valid/pr_auc"} <= keys
+
+
+def test_batched_eval_matches_single(rng):
+    """Bucket-batched eval (batch_videos>1) must produce identical AUC to the
+    per-video loop — masking keeps batching exact."""
+    model, state = tiny_state(randomize=True)
+    ds = make_eval_dataset(rng, n_videos=5)
+    single = evaluate(state, ds, batch_videos=1)
+    batched = evaluate(state, ds, batch_videos=3)
+    np.testing.assert_allclose(batched.preds, single.preds, atol=1e-5)
+    np.testing.assert_allclose(batched.rec_auc, single.rec_auc, atol=1e-6)
