@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -66,6 +67,120 @@ class ConvBN(nn.Module):
                 name="bn",
             )(x)
         return x
+
+
+class S2DConv(nn.Module):
+    """Space-to-depth reformulation of a strided small-channel conv.
+
+    Rearranging each (s_t, s_h, s_w) input block into channels turns the
+    conv into an equivalent stride-1 conv over C_in * prod(strides) channels
+    (kernel zero-padded to a tap count divisible by the stride, then
+    regrouped by stride phase) — the exact same linear map (bit-identical
+    output, verified in tests) at MXU-friendly contraction width.
+
+    Measured perf-neutral on v5e (XLA's own conv handling of the C_in=3 stem
+    is already good; the early layers are HBM-bandwidth-bound) — kept as a
+    tested option since the win is hardware-generation dependent.
+
+    Parameters keep the canonical torch-equivalent kernel shape (checkpoint
+    converters untouched); the rearrangement happens on the traced weight
+    and is constant-folded by XLA.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    in_channels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            # nn.Conv's default, so from-scratch init matches the plain stem
+            nn.initializers.lecun_normal(),
+            (*self.kernel, self.in_channels, self.features),
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        batch, channels = x.shape[0], x.shape[-1]
+
+        pads = [(0, 0)] + [(p, p) for p in self.padding] + [(0, 0)]
+        x = jnp.pad(x, pads)
+        spatial = x.shape[1:4]
+        for size, stride in zip(spatial, self.strides):
+            if size % stride:
+                raise ValueError(
+                    f"S2DConv needs padded input dims divisible by the "
+                    f"stride; got {tuple(spatial)} with strides {self.strides} "
+                    f"— use the plain stem (s2d_stem=False) for this shape"
+                )
+
+        # block each strided axis: (B, m_t, r_t, m_h, r_h, m_w, r_w, C)
+        f_t, f_h, f_w = self.strides
+        x = x.reshape(
+            batch,
+            spatial[0] // f_t, f_t,
+            spatial[1] // f_h, f_h,
+            spatial[2] // f_w, f_w,
+            channels,
+        )
+        # merged channel order (c, r_t, r_h, r_w) matches the kernel regroup
+        x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+        x = x.reshape(
+            batch, spatial[0] // f_t, spatial[1] // f_h, spatial[2] // f_w,
+            channels * f_t * f_h * f_w,
+        )
+
+        # kernel: zero-pad taps to multiples of the stride, split each tap
+        # axis into (phase j, residue r), regroup as (j_t, j_h, j_w, c*r, O)
+        taps = [
+            -(-k // f) * f for k, f in zip(self.kernel, self.strides)
+        ]
+        k = jnp.pad(
+            kernel,
+            [(0, t - kk) for t, kk in zip(taps, self.kernel)] + [(0, 0), (0, 0)],
+        )
+        j_t, j_h, j_w = (t // f for t, f in zip(taps, self.strides))
+        k = k.reshape(j_t, f_t, j_h, f_h, j_w, f_w, self.in_channels, self.features)
+        k = k.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+        k = k.reshape(
+            j_t, j_h, j_w, self.in_channels * f_t * f_h * f_w, self.features
+        )
+
+        return jax.lax.conv_general_dilated(
+            x, k,
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+
+class S2DConvBN(nn.Module):
+    """S2DConv + inference BatchNorm with ConvBN-compatible param paths
+    (<name>/conv/kernel, <name>/bn/*) so converted checkpoints load
+    unchanged whether or not the space-to-depth stem is enabled."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    strides: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = S2DConv(
+            self.features,
+            kernel=self.kernel,
+            strides=self.strides,
+            padding=self.padding,
+            in_channels=x.shape[-1],
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=True, epsilon=1e-5, dtype=self.dtype, name="bn"
+        )(x)
 
 
 class NonLocalBlock(nn.Module):
@@ -200,12 +315,16 @@ class I3DResNet(nn.Module):
     # AvgPool3d kernel before global average (pytorchvideo head); None = direct
     head_pool_kernel: Optional[Tuple[int, int, int]] = None
     nonlocal_stages: Tuple[int, ...] = ()
+    # exact space-to-depth stem reformulation (see S2DConv); bit-identical
+    # outputs, perf-neutral on v5e, kept as an option for other TPU gens
+    s2d_stem: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = ConvBN(
+        stem_cls = S2DConvBN if self.s2d_stem else ConvBN
+        x = stem_cls(
             64,
             kernel=self.stem_kernel,
             strides=self.stem_stride,
@@ -252,9 +371,12 @@ class I3DResNet(nn.Module):
         return x.astype(jnp.promote_types(self.dtype, jnp.float32))
 
 
-def i3res50(dtype: Dtype = jnp.float32, use_nl: bool = False) -> I3DResNet:
+def i3res50(
+    dtype: Dtype = jnp.float32, use_nl: bool = False, s2d_stem: bool = False
+) -> I3DResNet:
     """The "tushar-n-baseline" I3Res50 (reference: src/i3d.py:198-318,338)."""
     return I3DResNet(
+        s2d_stem=s2d_stem,
         stem_kernel=(5, 7, 7),
         stem_stride=(2, 2, 2),
         stem_pool_kernel=(2, 3, 3),
@@ -273,7 +395,7 @@ def i3res50(dtype: Dtype = jnp.float32, use_nl: bool = False) -> I3DResNet:
     )
 
 
-def i3d_8x8_r50(dtype: Dtype = jnp.float32) -> I3DResNet:
+def i3d_8x8_r50(dtype: Dtype = jnp.float32, s2d_stem: bool = False) -> I3DResNet:
     """The pytorchvideo-style i3d_8x8_r50 (reference: src/i3d.py:339-350).
 
     Reconstructed from pytorchvideo 0.1.3 ``create_resnet`` defaults plus the
@@ -284,6 +406,7 @@ def i3d_8x8_r50(dtype: Dtype = jnp.float32) -> I3DResNet:
     src/i3d.py:35-57).
     """
     return I3DResNet(
+        s2d_stem=s2d_stem,
         stem_kernel=(5, 7, 7),
         stem_stride=(1, 2, 2),
         stem_pool_kernel=(1, 3, 3),
@@ -309,15 +432,19 @@ MODEL_ZOO = {
 
 
 def build_i3d_feature_extractor(
-    model_name: str = "tushar-n-baseline", dtype: Dtype = jnp.float32
+    model_name: str = "tushar-n-baseline",
+    dtype: Dtype = jnp.float32,
+    **model_kwargs,
 ) -> I3DResNet:
     """Factory mirroring the reference API (src/i3d.py:332-364).
 
-    Weight loading is separate: use utils/convert.py to convert a torch
-    state dict and training/checkpoints.py to restore orbax checkpoints.
+    ``model_kwargs`` pass through to the variant factory (e.g.
+    ``s2d_stem=True``, ``use_nl=True`` for i3res50). Weight loading is
+    separate: use utils/convert.py to convert a torch state dict and
+    training/checkpoints.py to restore orbax checkpoints.
     """
     if model_name not in MODEL_ZOO:
         raise AttributeError(
             f"unknown I3D variant {model_name!r}; options: {sorted(MODEL_ZOO)}"
         )
-    return MODEL_ZOO[model_name](dtype=dtype)
+    return MODEL_ZOO[model_name](dtype=dtype, **model_kwargs)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
@@ -215,6 +216,30 @@ class EvalResult:
     preds: np.ndarray
     labels: np.ndarray
 
+    def save_figure(self, path: str) -> None:
+        """Prediction/GT overlay + ROC curve figure (the reference's W&B
+        chart, src/runner.py:81-88), saved as a PNG."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..ops.metrics import roc_curve
+
+        fig = plt.figure(figsize=(16, 4))
+        fig.set_facecolor("white")
+        ax1 = fig.add_subplot(1, 2, 1)
+        ax2 = fig.add_subplot(1, 2, 2)
+        ax1.plot(self.preds)
+        ax1.plot(self.labels, alpha=0.5)
+        ax1.set_title("frame scores vs ground truth")
+        fpr, tpr, _ = roc_curve(self.labels, self.preds)
+        ax2.plot(fpr, tpr)
+        ax2.set_title(f"ROC (AUC={self.rec_auc:.4f})")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=80, bbox_inches="tight")
+        plt.close(fig)
+
 
 class VideoAnomalyDetectionRunner:
     """Epoch-loop orchestrator (role of the reference's LightningModule).
@@ -278,6 +303,7 @@ class VideoAnomalyDetectionRunner:
         shuffle: bool = False,
         eval_every: int = 1,
         frames_per_clip: int = 16,
+        figure_dir: Optional[str] = None,
     ) -> Optional[EvalResult]:
         """Train with per-epoch evaluation (reference flow: run.py:35 +
         src/runner.py loops; shuffle=False matches src/runner.py:108-124)."""
@@ -324,6 +350,14 @@ class VideoAnomalyDetectionRunner:
                 )
                 metrics["valid/rec_auc"] = last_eval.rec_auc
                 metrics["valid/pr_auc"] = last_eval.pr_auc
+                if figure_dir:
+                    try:
+                        last_eval.save_figure(
+                            os.path.join(figure_dir, f"eval_epoch{epoch:04d}.png")
+                        )
+                    except Exception as exc:  # cosmetic artifact: never let a
+                        # figure failure kill the epoch's metrics/checkpoint
+                        print(f"warning: eval figure failed: {exc}")
             self._log(metrics, step)
             if self.checkpointer is not None and self.state is not None:
                 self.checkpointer.save(

@@ -122,6 +122,7 @@ def main(argv=None) -> None:
         shuffle=bool(data_cfg.get("shuffle", False)),
         eval_every=int(trainer_cfg.get("eval_every", 1)),
         frames_per_clip=int(data_cfg.get("frames_per_clip", 16)),
+        figure_dir=trainer_cfg.get("figure_dir"),
     )
     if result is not None:
         print(f"final valid/rec_auc={result.rec_auc:.4f} valid/pr_auc={result.pr_auc:.4f}")

@@ -144,3 +144,17 @@ def test_pytorchvideo_converter_round_trip():
     for (pa, la), (pb, lb) in zip(flat_a, flat_b):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_s2d_stem_bit_exact():
+    """The space-to-depth stem must be the exact same linear map (same
+    params, same outputs) as the plain strided stem conv."""
+    import dataclasses
+
+    plain = dataclasses.replace(i3res50(), s2d_stem=False)
+    s2d = dataclasses.replace(i3res50(), s2d_stem=True)
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 64, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64, 64, 3))
+    a = plain.apply(variables, x)
+    b = s2d.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -159,3 +159,13 @@ def test_batched_eval_matches_single(rng):
     batched = evaluate(state, ds, batch_videos=3)
     np.testing.assert_allclose(batched.preds, single.preds, atol=1e-5)
     np.testing.assert_allclose(batched.rec_auc, single.rec_auc, atol=1e-6)
+
+
+def test_eval_result_figure(rng, tmp_path):
+    model, state = tiny_state()
+    result = evaluate(state, make_eval_dataset(rng))
+    path = str(tmp_path / "fig" / "eval.png")
+    result.save_figure(path)
+    import os
+
+    assert os.path.getsize(path) > 1000
