@@ -9,11 +9,13 @@ from YAML via ``runner=<name>`` (see configs/runner/).
 
 from .i3d import I3DResNet, build_i3d_feature_extractor, i3d_8x8_r50, i3res50
 from .mgfn import MGFNConfig, MGFNForVideoAnomalyDetection, MGFNModel, MGFNOutput
+from .rtfm import RTFMConfig, RTFMForVideoAnomalyDetection, RTFMOutput
 
 MODEL_REGISTRY = {
     "mgfn": (MGFNConfig, MGFNForVideoAnomalyDetection),
-    # "rtfm": planned second model package (reference src/models/rtfm/ is an
-    # empty placeholder; kept as a registry slot for parity)
+    # the reference reserved this slot but left it empty
+    # (src/models/rtfm/__init__.py); implemented here
+    "rtfm": (RTFMConfig, RTFMForVideoAnomalyDetection),
 }
 
 
@@ -27,6 +29,9 @@ def build_model(name: str, **config_overrides):
 
 
 __all__ = [
+    "RTFMConfig",
+    "RTFMForVideoAnomalyDetection",
+    "RTFMOutput",
     "I3DResNet",
     "build_i3d_feature_extractor",
     "i3d_8x8_r50",

@@ -1,6 +1,11 @@
-"""RTFM model package placeholder.
+"""RTFM model package (Tian et al., ICCV 2021).
 
-The reference reserves this slot for an RTFM implementation that was never
-written (reference: src/models/rtfm/__init__.py is empty). Kept to mirror
-the model-registry layout; see models/__init__.py.
+The reference repo reserved this slot but never implemented it
+(reference: src/models/rtfm/__init__.py is empty); this package fills it
+with a TPU-native implementation — the registry's second model family.
 """
+
+from .config import RTFMConfig
+from .model import RTFMForVideoAnomalyDetection, RTFMOutput
+
+__all__ = ["RTFMConfig", "RTFMForVideoAnomalyDetection", "RTFMOutput"]
