@@ -287,3 +287,90 @@ __all__ = [
     "extract_videos",
     "segment_video_features",
 ]
+
+
+def extract_videos_pooled(
+    video_paths: Sequence[str],
+    outdir: str,
+    extractor: Optional[FeatureExtractor] = None,
+    decode_workers: int = 4,
+    queue_chunks: int = 3,
+    chunk_frames: int = CHUNK_FRAMES,
+    progress: bool = True,
+    **extractor_kwargs,
+) -> int:
+    """Multi-video extraction with a decode pool feeding one device queue.
+
+    A single decode stream (~23 clips/s MJPEG) cannot feed the chip
+    (~198 clips/s), so ``decode_workers`` videos decode concurrently into a
+    bounded chunk queue while the device consumes serially. Per-video chunk
+    order is preserved by (video, chunk_idx) assembly; outputs and
+    idempotency semantics match extract_videos. ``queue_chunks`` bounds host
+    RAM (a full 3,008-frame 240x320 chunk is ~0.7 GB).
+    """
+    import queue as queue_mod
+    from concurrent.futures import ThreadPoolExecutor
+
+    extractor = extractor or FeatureExtractor(**extractor_kwargs)
+    os.makedirs(outdir, exist_ok=True)
+
+    todo = []
+    for path in video_paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        savepath = os.path.join(outdir, f"{stem}_i3d.npy")
+        if not os.path.exists(savepath):
+            todo.append((path, savepath))
+    if not todo:
+        return 0
+
+    chunk_queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=queue_chunks)
+
+    def producer(path: str, savepath: str) -> None:
+        try:
+            index = -1
+            for index, chunk in enumerate(VideoFrameSource(path, chunk_frames)):
+                chunk_queue.put(("chunk", savepath, index, chunk))
+            chunk_queue.put(("done", savepath, index + 1, None))
+        except BaseException as exc:
+            chunk_queue.put(("error", savepath, 0, exc))
+
+    pool = ThreadPoolExecutor(max_workers=max(1, decode_workers))
+    for path, savepath in todo:
+        pool.submit(producer, path, savepath)
+
+    bar = None
+    if progress:
+        try:
+            from tqdm.auto import tqdm
+
+            bar = tqdm(total=len(todo))
+        except ImportError:
+            pass
+
+    partial: dict = {}
+    totals: dict = {}
+    n_done = 0
+    try:
+        while n_done < len(todo):
+            kind, savepath, index, payload = chunk_queue.get()
+            if kind == "error":
+                raise payload
+            if kind == "chunk":
+                partial.setdefault(savepath, {})[index] = extractor.extract_frames(
+                    payload
+                )
+            else:
+                totals[savepath] = index
+            chunks = partial.get(savepath, {})
+            if savepath in totals and len(chunks) == totals[savepath]:
+                feats = np.vstack([chunks[i] for i in range(totals[savepath])])
+                atomic_save(savepath, feats)
+                partial.pop(savepath, None)
+                n_done += 1
+                if bar is not None:
+                    bar.update(1)
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+        if bar is not None:
+            bar.close()
+    return n_done

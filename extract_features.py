@@ -91,6 +91,10 @@ def main(argv=None) -> None:
                         help="report decode/device stage timers")
     parser.add_argument("--stream", default="rgb", choices=["rgb", "flow"],
                         help="two-stream support: RGB or optical-flow stream")
+    parser.add_argument("--decode-workers", type=int, default=1,
+                        help=">1 decodes that many videos concurrently to "
+                             "keep the chip fed (one decode stream is ~8x "
+                             "slower than the device)")
     args = parser.parse_args(argv)
 
     import jax
@@ -99,6 +103,7 @@ def main(argv=None) -> None:
     from anomaly_detection_on_video_tpu.data.extraction import (
         FeatureExtractor,
         extract_videos,
+        extract_videos_pooled,
         segment_video_features,
     )
 
@@ -140,7 +145,12 @@ def main(argv=None) -> None:
             parser.error("one of --videos / --hf-dataset is required")
         videos = find_videos(args.videos)
         outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
-        n = extract_videos(videos, outdir, extractor, timer=timer)
+        if args.decode_workers > 1 and args.stream == "rgb":
+            n = extract_videos_pooled(
+                videos, outdir, extractor, decode_workers=args.decode_workers
+            )
+        else:
+            n = extract_videos(videos, outdir, extractor, timer=timer)
         print(f"extracted {n} new videos ({len(videos)} total) -> {outdir}")
         train_dir = outdir if args.split in (None, "train") else None
 

@@ -1,5 +1,7 @@
 """Feature-extractor pipeline tests: padding, grouping, pipeline parity."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -110,3 +112,36 @@ def test_flow_stream_extraction(rng):
     feats = ex.extract_frames(flow_to_uint8(flow))
     assert feats.shape == (2, 10, 2048)
     assert np.isfinite(feats).all()
+
+
+def test_pooled_extraction_matches_serial(rng, tmp_path):
+    import cv2
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        extract_videos,
+        extract_videos_pooled,
+    )
+
+    videos = []
+    for i in range(3):
+        path = str(tmp_path / f"v{i}.avi")
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+        for _ in range(20 + 16 * i):
+            writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+        writer.release()
+        videos.append(path)
+
+    ex = FeatureExtractor(dtype=jnp.float32, batch=10)
+    serial_dir, pooled_dir = str(tmp_path / "serial"), str(tmp_path / "pooled")
+    assert extract_videos(videos, serial_dir, ex, progress=False) == 3
+    # chunk_frames=16 exercises multi-chunk assembly
+    assert extract_videos_pooled(
+        videos, pooled_dir, ex, decode_workers=2, chunk_frames=16, progress=False
+    ) == 3
+    for i in range(3):
+        a = np.load(os.path.join(serial_dir, f"v{i}_i3d.npy"))
+        b = np.load(os.path.join(pooled_dir, f"v{i}_i3d.npy"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # idempotent second run
+    assert extract_videos_pooled(videos, pooled_dir, ex, progress=False) == 0
