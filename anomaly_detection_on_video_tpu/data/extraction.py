@@ -202,11 +202,7 @@ class FeatureExtractor:
         Farneback flow on the host (frame 0 of each chunk gets zero flow —
         a chunk-boundary artifact shared with any chunked flow pipeline).
         """
-        transform = None
-        if self.stream == "flow":
-            from .flow import compute_flow, flow_to_uint8
-
-            transform = lambda chunk: flow_to_uint8(compute_flow(chunk))
+        transform = self._host_transform()
         outputs = []
         source = VideoFrameSource(video_path, chunk_frames)
         iterator = iter(source)
@@ -226,8 +222,7 @@ class FeatureExtractor:
                     chunk = transform(chunk)
             i = len(outputs)
             if cache_dir is not None:
-                stem = os.path.splitext(os.path.basename(video_path))[0]
-                chunk_path = os.path.join(cache_dir, stem, f"{stem}_{i}.npy")
+                chunk_path = self.chunk_cache_path(cache_dir, video_path, i)
                 if os.path.exists(chunk_path):
                     outputs.append(np.load(chunk_path))
                     continue
@@ -236,13 +231,41 @@ class FeatureExtractor:
                 outputs.append(feats)
             else:
                 outputs.append(self._timed_extract(chunk, timer))
+        if not outputs:
+            raise ValueError(
+                f"{video_path}: decoded zero frames (corrupt or empty video)"
+            )
         return np.vstack(outputs)
+
+    def _host_transform(self):
+        """Per-chunk host transform for the active stream (None for RGB)."""
+        if self.stream != "flow":
+            return None
+        from .flow import compute_flow, flow_to_uint8
+
+        return lambda chunk: flow_to_uint8(compute_flow(chunk))
+
+    def chunk_cache_path(self, cache_dir: str, video_path: str, index: int) -> str:
+        """Per-chunk feature cache path (reference extract_features.py:131-148
+        layout, ``<stem>/<stem>_{i}.npy``); the flow stream gets a ``_flow``
+        suffix so two-stream runs into one outdir cannot collide."""
+        stem = os.path.splitext(os.path.basename(video_path))[0]
+        if self.stream == "flow":
+            stem = f"{stem}_flow"
+        return os.path.join(cache_dir, stem, f"{stem}_{index}.npy")
 
     def _timed_extract(self, chunk: np.ndarray, timer) -> np.ndarray:
         if timer is None:
             return self.extract_frames(chunk)
         with timer.stage("device_extract"):
             return self.extract_frames(chunk)
+
+
+def feature_filename(stem: str, stream: str = "rgb") -> str:
+    """``<stem>_i3d.npy`` for RGB (the reference's on-disk layout,
+    extract_features.py:126) and ``<stem>_flow.npy`` for the flow stream so a
+    two-stream run into one outdir neither collides nor mislabels features."""
+    return f"{stem}_{'i3d' if stream == 'rgb' else 'flow'}.npy"
 
 
 def extract_videos(
@@ -272,7 +295,7 @@ def extract_videos(
     n_done = 0
     for path in iterator:
         stem = os.path.splitext(os.path.basename(path))[0]
-        savepath = os.path.join(outdir, f"{stem}_i3d.npy")
+        savepath = os.path.join(outdir, feature_filename(stem, extractor.stream))
         if os.path.exists(savepath):
             continue
         cache = outdir if chunk_cache_for_large and is_large_video(path) else None
@@ -285,6 +308,8 @@ def extract_videos(
 __all__ = [
     "FeatureExtractor",
     "extract_videos",
+    "extract_videos_pooled",
+    "feature_filename",
     "segment_video_features",
 ]
 
@@ -296,6 +321,7 @@ def extract_videos_pooled(
     decode_workers: int = 4,
     queue_chunks: int = 3,
     chunk_frames: int = CHUNK_FRAMES,
+    chunk_cache_for_large: bool = True,
     progress: bool = True,
     **extractor_kwargs,
 ) -> int:
@@ -304,39 +330,74 @@ def extract_videos_pooled(
     A single decode stream (~23 clips/s MJPEG) cannot feed the chip
     (~198 clips/s), so ``decode_workers`` videos decode concurrently into a
     bounded chunk queue while the device consumes serially. Per-video chunk
-    order is preserved by (video, chunk_idx) assembly; outputs and
-    idempotency semantics match extract_videos. ``queue_chunks`` bounds host
-    RAM (a full 3,008-frame 240x320 chunk is ~0.7 GB).
+    order is preserved by (video, chunk_idx) assembly; outputs, idempotency
+    and per-chunk resumability semantics match extract_videos: large videos
+    (>1 GB, reference extract_features.py:131-148) get per-chunk feature
+    caches, so an interrupted pooled run resumes without re-extracting, and
+    their in-flight features live on disk rather than RAM (bounded memory).
+    ``queue_chunks`` bounds host RAM for raw frames (a full 3,008-frame
+    240x320 chunk is ~0.7 GB). The flow stream is supported: the Farneback
+    transform runs inside the decode workers (host-parallel, matching
+    extract_video's semantics).
+
+    Shutdown safety: producers blocked on a full queue check a stop event
+    with timeout-based puts, so an error (or Ctrl-C) in the consumer cannot
+    leave non-daemon decode threads wedged in ``put()`` at interpreter exit.
     """
     import queue as queue_mod
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     extractor = extractor or FeatureExtractor(**extractor_kwargs)
     os.makedirs(outdir, exist_ok=True)
+    transform = extractor._host_transform()
 
     todo = []
     for path in video_paths:
         stem = os.path.splitext(os.path.basename(path))[0]
-        savepath = os.path.join(outdir, f"{stem}_i3d.npy")
+        savepath = os.path.join(outdir, feature_filename(stem, extractor.stream))
         if not os.path.exists(savepath):
-            todo.append((path, savepath))
+            cache = (
+                outdir
+                if chunk_cache_for_large and is_large_video(path)
+                else None
+            )
+            todo.append((path, savepath, cache))
     if not todo:
         return 0
 
     chunk_queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=queue_chunks)
+    stop = threading.Event()
 
-    def producer(path: str, savepath: str) -> None:
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer has stopped."""
+        while not stop.is_set():
+            try:
+                chunk_queue.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def producer(path: str, savepath: str, cache: Optional[str]) -> None:
         try:
             index = -1
             for index, chunk in enumerate(VideoFrameSource(path, chunk_frames)):
-                chunk_queue.put(("chunk", savepath, index, chunk))
-            chunk_queue.put(("done", savepath, index + 1, None))
+                if transform is not None:
+                    chunk = transform(chunk)
+                if not _put(("chunk", savepath, index, (path, cache, chunk))):
+                    return
+            if index < 0:
+                raise ValueError(
+                    f"{path}: decoded zero frames (corrupt or empty video)"
+                )
+            _put(("done", savepath, index + 1, None))
         except BaseException as exc:
-            chunk_queue.put(("error", savepath, 0, exc))
+            _put(("error", savepath, 0, exc))
 
     pool = ThreadPoolExecutor(max_workers=max(1, decode_workers))
-    for path, savepath in todo:
-        pool.submit(producer, path, savepath)
+    for path, savepath, cache in todo:
+        pool.submit(producer, path, savepath, cache)
 
     bar = None
     if progress:
@@ -347,6 +408,8 @@ def extract_videos_pooled(
         except ImportError:
             pass
 
+    # per-video in-flight state: cached chunks are kept as paths (features on
+    # disk), uncached ones as arrays — RAM stays bounded for large videos
     partial: dict = {}
     totals: dict = {}
     n_done = 0
@@ -356,21 +419,34 @@ def extract_videos_pooled(
             if kind == "error":
                 raise payload
             if kind == "chunk":
-                partial.setdefault(savepath, {})[index] = extractor.extract_frames(
-                    payload
-                )
+                path, cache, chunk = payload
+                if cache is not None:
+                    chunk_path = extractor.chunk_cache_path(cache, path, index)
+                    if not os.path.exists(chunk_path):
+                        atomic_save(chunk_path, extractor.extract_frames(chunk))
+                    partial.setdefault(savepath, {})[index] = chunk_path
+                else:
+                    partial.setdefault(savepath, {})[index] = (
+                        extractor.extract_frames(chunk)
+                    )
             else:
                 totals[savepath] = index
             chunks = partial.get(savepath, {})
             if savepath in totals and len(chunks) == totals[savepath]:
-                feats = np.vstack([chunks[i] for i in range(totals[savepath])])
+                feats = np.vstack(
+                    [
+                        np.load(c) if isinstance(c, str) else c
+                        for c in (chunks[i] for i in range(totals[savepath]))
+                    ]
+                )
                 atomic_save(savepath, feats)
                 partial.pop(savepath, None)
                 n_done += 1
                 if bar is not None:
                     bar.update(1)
     finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        stop.set()
+        pool.shutdown(wait=True, cancel_futures=True)
         if bar is not None:
             bar.close()
     return n_done

@@ -145,7 +145,7 @@ def main(argv=None) -> None:
             parser.error("one of --videos / --hf-dataset is required")
         videos = find_videos(args.videos)
         outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
-        if args.decode_workers > 1 and args.stream == "rgb":
+        if args.decode_workers > 1:
             n = extract_videos_pooled(
                 videos, outdir, extractor, decode_workers=args.decode_workers
             )

@@ -145,3 +145,114 @@ def test_pooled_extraction_matches_serial(rng, tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
     # idempotent second run
     assert extract_videos_pooled(videos, pooled_dir, ex, progress=False) == 0
+
+
+def test_pooled_flow_matches_serial(rng, tmp_path):
+    """Pooled extraction honors extractor.stream: the Farneback transform
+    runs in the decode workers and outputs land in '<stem>_flow.npy'."""
+    import cv2
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        extract_videos,
+        extract_videos_pooled,
+    )
+
+    path = str(tmp_path / "v0.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for t in range(20):
+        frame = np.zeros((64, 96, 3), np.uint8)
+        frame[20:40, 5 + 2 * t : 25 + 2 * t] = 200  # moving square
+        writer.write(frame)
+    writer.release()
+
+    ex = FeatureExtractor(dtype=jnp.float32, batch=10, stream="flow")
+    serial_dir, pooled_dir = str(tmp_path / "serial"), str(tmp_path / "pooled")
+    assert extract_videos([path], serial_dir, ex, progress=False) == 1
+    assert extract_videos_pooled(
+        [path], pooled_dir, ex, decode_workers=2, progress=False
+    ) == 1
+    a = np.load(os.path.join(serial_dir, "v0_flow.npy"))
+    b = np.load(os.path.join(pooled_dir, "v0_flow.npy"))
+    assert a.shape == (2, 10, 2048)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_pooled_error_shutdown_and_chunk_cache_resume(
+    extractor, rng, tmp_path, monkeypatch
+):
+    """A consumer error must not wedge decode threads (timeout-put + stop
+    event), and for 'large' videos an interrupted pooled run resumes from the
+    per-chunk feature caches bit-identically."""
+    import time
+
+    import cv2
+
+    import anomaly_detection_on_video_tpu.data.extraction as extraction_mod
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        extract_videos_pooled,
+    )
+
+    path = str(tmp_path / "big.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for _ in range(40):  # 3 chunks of 16
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+    golden = extractor.extract_video(path, chunk_frames=16)
+
+    monkeypatch.setattr(extraction_mod, "is_large_video", lambda p: True)
+    outdir = str(tmp_path / "out")
+
+    real = extractor.extract_frames
+    calls = {"n": 0}
+
+    def failing(chunk):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated mid-run crash")
+        return real(chunk)
+
+    monkeypatch.setattr(extractor, "extract_frames", failing)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="simulated"):
+        extract_videos_pooled(
+            [path], outdir, extractor,
+            decode_workers=3, queue_chunks=1, chunk_frames=16, progress=False,
+        )
+    # generous bound (CPU runs share the machine): the point is that decode
+    # threads are released instead of hanging forever in queue.put()
+    assert time.monotonic() - t0 < 300
+    # chunk 0 was cached before the crash; the final npy was not written
+    assert os.path.exists(extractor.chunk_cache_path(outdir, path, 0))
+    assert not os.path.exists(os.path.join(outdir, "big_i3d.npy"))
+
+    resumed = {"n": 0}
+
+    def counting(chunk):
+        resumed["n"] += 1
+        return real(chunk)
+
+    monkeypatch.setattr(extractor, "extract_frames", counting)
+    assert extract_videos_pooled(
+        [path], outdir, extractor, decode_workers=2, chunk_frames=16,
+        progress=False,
+    ) == 1
+    assert resumed["n"] == 2  # chunks 1 and 2 only; chunk 0 came from cache
+    out = np.load(os.path.join(outdir, "big_i3d.npy"))
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_video_raises_clear_error(extractor, tmp_path):
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        extract_videos_pooled,
+    )
+
+    path = str(tmp_path / "bad.avi")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 64)  # not a decodable video
+    with pytest.raises((ValueError, FileNotFoundError, RuntimeError)):
+        extractor.extract_video(path)
+    with pytest.raises((ValueError, FileNotFoundError, RuntimeError)):
+        extract_videos_pooled(
+            [path], str(tmp_path / "out"), extractor, progress=False
+        )
