@@ -100,7 +100,23 @@ def _load_group(config_dir: str, group: str, choice: str) -> Dict[str, Any]:
         raise FileNotFoundError(
             f"config group {group!r} has no choice {choice!r}; available: {available}"
         )
-    return load_yaml(path)
+    content = load_yaml(path)
+    # nested defaults (Hydra group-local composition): e.g.
+    # trainer/callbacks/all.yaml lists sibling choices to merge in order,
+    # with the file's own keys winning (reference configs/trainer/callbacks/all.yaml)
+    nested = content.pop("defaults", [])
+    if not nested:
+        return content
+    merged: Dict[str, Any] = {}
+    for entry in nested:
+        if entry == "_self_":
+            merged = merge(merged, content)
+            continue
+        sibling = entry if isinstance(entry, str) else "/".join(*entry.items())
+        merged = merge(merged, _load_group(config_dir, group, sibling))
+    if "_self_" not in nested:
+        merged = merge(merged, content)
+    return merged
 
 
 def _set_group(cfg: Dict[str, Any], group: str, content: Dict[str, Any]) -> None:

@@ -31,9 +31,12 @@ class TopKCheckpointer:
         self.every_n_steps = every_n_steps
         self._last_saved = -1
 
-    def save(self, step: int, state: Any, metric: Optional[float] = None) -> None:
+    def save(
+        self, step: int, state: Any, metric: Optional[float] = None
+    ) -> Optional[str]:
+        """Save and return the on-disk checkpoint path (None if skipped)."""
         if self.every_n_steps and step - self._last_saved < self.every_n_steps:
-            return
+            return None
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -46,6 +49,7 @@ class TopKCheckpointer:
             metrics={"metric": float(metric) if metric is not None else -1.0},
         )
         self._last_saved = step
+        return os.path.join(self.directory, str(step))
 
     def restore_latest(self, state: Any) -> Any:
         """Restore into an existing TrainState template (shapes must match)."""

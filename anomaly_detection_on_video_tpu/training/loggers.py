@@ -45,15 +45,25 @@ class ConsoleLogger:
 
 
 class WandbLogger:
-    """Thin optional W&B logger; no-op if wandb is unavailable."""
+    """Thin optional W&B logger; no-op if wandb is unavailable.
+
+    Parity with the reference's Lightning WandbLogger
+    (configs/trainer/logger/wandb.yaml): scalars, the eval overlay figure as
+    a ``wandb.Image`` (src/runner.py:81-88), and — with ``log_model`` —
+    checkpoint artifact uploads (``log_model: all``).
+    """
 
     def __init__(self, project: str = "anomaly-detection-on-video-tpu",
-                 name: Optional[str] = None, key: Optional[str] = None):
+                 name: Optional[str] = None, key: Optional[str] = None,
+                 log_model: bool = False):
+        self.log_model = log_model
         try:
             import wandb
         except ImportError:
             self._run = None
+            self._wandb = None
             return
+        self._wandb = wandb
         if key:
             wandb.login(key=key)
         self._run = wandb.init(project=project, name=name)
@@ -61,3 +71,16 @@ class WandbLogger:
     def log(self, metrics: Dict[str, float], step: int) -> None:
         if self._run is not None:
             self._run.log(metrics, step=step)
+
+    def log_image(self, name: str, path: str, step: int) -> None:
+        """Upload a figure PNG (the reference's plot_auc wandb.Image log)."""
+        if self._run is not None:
+            self._run.log({name: self._wandb.Image(path)}, step=step)
+
+    def log_artifact(self, path: str, name: str, type: str = "model") -> None:
+        """Upload a checkpoint directory as a W&B artifact (log_model: all)."""
+        if self._run is None or not self.log_model:
+            return
+        artifact = self._wandb.Artifact(name, type=type)
+        artifact.add_dir(path) if os.path.isdir(path) else artifact.add_file(path)
+        self._run.log_artifact(artifact)

@@ -143,6 +143,7 @@ def evaluate(
     frames_per_clip: int = 16,
     eval_step=None,
     batch_videos: int = 1,
+    pad_groups: bool = False,
 ) -> "EvalResult":
     """Frame-level ROC/PR AUC over the test set (src/runner.py:62-79).
 
@@ -153,7 +154,11 @@ def evaluate(
     (see MGFNForVideoAnomalyDetection.__call__). ``batch_videos > 1`` groups
     same-bucket videos into one device batch (with a mesh, the batch axis is
     the data-parallel axis), a throughput upgrade the reference's batch-1
-    loop (src/runner.py:127-132) cannot express.
+    loop (src/runner.py:127-132) cannot express. ``pad_groups`` pads the
+    final ragged group of each bucket to a full ``batch_videos`` by repeating
+    its first video (padded outputs dropped): required for mesh-sharded eval
+    (the sharded batch axis must divide evenly) and it also keeps the
+    compiled-shape count at one per bucket.
     """
     eval_step = eval_step or make_eval_step()
     per_video: Dict[str, np.ndarray] = {}
@@ -174,11 +179,13 @@ def evaluate(
         for start in range(0, len(items), batch_videos):
             group = items[start : start + batch_videos]
             n_group = len(group)
+            n_rows = batch_videos if pad_groups else n_group
             feats = np.zeros(
-                (n_group, 10, bucket, group[0]["feature"].shape[3]), np.float32
+                (n_rows, 10, bucket, group[0]["feature"].shape[3]), np.float32
             )
-            lengths = np.zeros((n_group,), np.int32)
-            for k, item in enumerate(group):
+            lengths = np.zeros((n_rows,), np.int32)
+            for k in range(n_rows):
+                item = group[min(k, n_group - 1)]  # pad rows repeat the last
                 n_clips = item["feature"].shape[2]
                 feats[k, :, :n_clips] = item["feature"][0]
                 lengths[k] = n_clips
@@ -259,6 +266,7 @@ class VideoAnomalyDetectionRunner:
         loggers: Iterable = (),
         checkpointer=None,
         seed: int = 0,
+        eval_batch_videos: int = 8,
     ):
         optimizer_cfg = dict(optimizer_cfg or {})
         self.model = model
@@ -267,12 +275,19 @@ class VideoAnomalyDetectionRunner:
         self.loggers = list(loggers)
         self.checkpointer = checkpointer
         self.seed = seed
+        self.learning_rate = float(optimizer_cfg.get("learning_rate", 1e-3))
         self.tx = adam_with_l2(
-            learning_rate=float(optimizer_cfg.get("learning_rate", 1e-3)),
+            learning_rate=self.learning_rate,
             weight_decay=float(optimizer_cfg.get("weight_decay", 5e-4)),
         )
+        if mesh is not None:
+            # eval groups are padded to eval_batch_videos, so rounding up to
+            # a mesh multiple keeps the sharded batch axis evenly divisible
+            n = int(mesh.devices.size)
+            eval_batch_videos = -(-eval_batch_videos // n) * n
+        self.eval_batch_videos = eval_batch_videos
         self._train_step = make_train_step(mesh)
-        self._eval_step = make_eval_step()
+        self._eval_step = make_eval_step(mesh)
         self.state: Optional[TrainState] = None
 
     def init_state(self, example_batch: np.ndarray) -> TrainState:
@@ -304,6 +319,7 @@ class VideoAnomalyDetectionRunner:
         eval_every: int = 1,
         frames_per_clip: int = 16,
         figure_dir: Optional[str] = None,
+        batch_videos: Optional[int] = None,
     ) -> Optional[EvalResult]:
         """Train with per-epoch evaluation (reference flow: run.py:35 +
         src/runner.py loops; shuffle=False matches src/runner.py:108-124)."""
@@ -336,7 +352,9 @@ class VideoAnomalyDetectionRunner:
                 )
                 loss = float(loss)
                 epoch_losses.append(loss)
-                self._log({"train_loss": loss}, step)
+                # lr-Adam: the reference's LearningRateMonitor callback name
+                # (configs/trainer/callbacks/lrmonitor.yaml, interval=step)
+                self._log({"train_loss": loss, "lr-Adam": self.learning_rate}, step)
                 step += 1
             metrics = {
                 "epoch": epoch,
@@ -346,25 +364,39 @@ class VideoAnomalyDetectionRunner:
             if valid_dataset is not None and (epoch + 1) % eval_every == 0:
                 last_eval = evaluate(
                     self.state, valid_dataset, frames_per_clip, self._eval_step,
-                    batch_videos=8,
+                    batch_videos=batch_videos or self.eval_batch_videos,
+                    pad_groups=True,
                 )
                 metrics["valid/rec_auc"] = last_eval.rec_auc
                 metrics["valid/pr_auc"] = last_eval.pr_auc
                 if figure_dir:
                     try:
-                        last_eval.save_figure(
-                            os.path.join(figure_dir, f"eval_epoch{epoch:04d}.png")
+                        fig_path = os.path.join(
+                            figure_dir, f"eval_epoch{epoch:04d}.png"
                         )
+                        last_eval.save_figure(fig_path)
+                        for logger in self.loggers:
+                            if hasattr(logger, "log_image"):
+                                logger.log_image("valid/overlay", fig_path, step)
                     except Exception as exc:  # cosmetic artifact: never let a
                         # figure failure kill the epoch's metrics/checkpoint
                         print(f"warning: eval figure failed: {exc}")
             self._log(metrics, step)
             if self.checkpointer is not None and self.state is not None:
-                self.checkpointer.save(
+                ckpt_path = self.checkpointer.save(
                     step=step,
                     state=self.state,
                     metric=metrics.get("valid/rec_auc"),
                 )
+                uploaders = [
+                    lg for lg in self.loggers
+                    if getattr(lg, "log_model", False)
+                    and hasattr(lg, "log_artifact")
+                ]
+                if ckpt_path and uploaders:
+                    self.checkpointer.wait()  # orbax saves are async
+                    for logger in uploaders:
+                        logger.log_artifact(ckpt_path, f"checkpoint-step{step}")
         if self.checkpointer is not None:
             # orbax saves are async; an unawaited save at interpreter exit
             # dies with "cannot schedule new futures" and leaves tmp dirs

@@ -13,3 +13,7 @@ __all__ = [
 from .convert import convert_pytorchvideo_resnet_state_dict  # noqa: E402
 
 __all__.append("convert_pytorchvideo_resnet_state_dict")
+
+from .model_size import model_size_bits, print_model_size  # noqa: E402
+
+__all__ += ["model_size_bits", "print_model_size"]

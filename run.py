@@ -55,7 +55,18 @@ def main(argv=None) -> None:
     if cfg.get("wandb_key"):
         choices = cfg.get("_choices_", {})
         run_name = f"{choices.get('data', 'data')}-{choices.get('runner', 'runner')}"
-        loggers.append(WandbLogger(name=run_name, key=cfg["wandb_key"]))
+        wandb_cfg = trainer_cfg.get("logger") or {}
+        loggers.append(
+            WandbLogger(
+                project=wandb_cfg.get(
+                    "project", "anomaly-detection-on-video-tpu"
+                ),
+                name=run_name,
+                key=cfg["wandb_key"],
+                # reference log_model: all uploads checkpoints as artifacts
+                log_model=bool(wandb_cfg.get("log_model", False)),
+            )
+        )
 
     checkpointer = None
     ckpt_cfg = trainer_cfg.get("checkpoint", {})
@@ -82,6 +93,7 @@ def main(argv=None) -> None:
         loggers=loggers,
         checkpointer=checkpointer,
         seed=int(cfg.get("seed", 0)),
+        eval_batch_videos=int(trainer_cfg.get("eval_batch_videos", 8)),
     )
 
     def data_kwargs(mode):
