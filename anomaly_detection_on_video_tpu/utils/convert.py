@@ -258,10 +258,15 @@ def convert_pytorchvideo_resnet_state_dict(
     i3d_8x8_r50 weights, src/i3d.py:339-350, file I3D_8x8_R50.pyth) to flax
     variables for models/i3d.py.
 
-    pytorchvideo names: ``blocks.0.{conv,norm}`` (stem),
-    ``blocks.{1..4}.res_blocks.{i}.branch1_{conv,norm}`` (projection) and
-    ``.branch2.{conv,norm}_{a,b,c}`` (bottleneck); ``blocks.5`` is the head
-    (replaced by the reference's parameter-free pooler, nothing to map).
+    pytorchvideo names: ``blocks.0.{conv,norm}`` (stem), then per stage
+    ``blocks.{i}.res_blocks.{b}.branch1_{conv,norm}`` (projection) and
+    ``.branch2.{conv,norm}_{a,b,c}`` (bottleneck). With ``stage1_pool`` set
+    (the reference's build), pytorchvideo appends the stage-1 MaxPool as its
+    own parameter-free top-level block, shifting the stage indices to
+    1, 3, 4, 5 — so stages are identified ordinally: the sorted block
+    indices that contain ``res_blocks`` keys map to stages 1..4. The final
+    head block is parameter-free here (the reference's pooler), nothing to
+    map.
     """
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -279,14 +284,24 @@ def convert_pytorchvideo_resnet_state_dict(
     put_bn(("stem",), "blocks.0.norm")
 
     branch_of = {"a": "branch_a", "b": "branch_b", "c": "branch_c"}
-    block_re = re.compile(r"^blocks\.([1-4])\.res_blocks\.(\d+)\.(.*)$")
+    block_re = re.compile(r"^blocks\.(\d+)\.res_blocks\.(\d+)\.(.*)$")
+    stage_indices = sorted(
+        {int(m.group(1)) for m in map(block_re.match, state_dict) if m}
+    )
+    if len(stage_indices) != 4:
+        raise ValueError(
+            f"expected 4 ResNet stages in the state dict, found block "
+            f"indices {stage_indices}"
+        )
+    stage_of = {idx: i + 1 for i, idx in enumerate(stage_indices)}
     for key in state_dict:
         m = block_re.match(key)
         if not m:
             continue
-        stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        block_idx, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        stage = stage_of[block_idx]
         prefix = (f"stage{stage}_block{block}",)
-        torch_base = f"blocks.{stage}.res_blocks.{block}"
+        torch_base = f"blocks.{block_idx}.res_blocks.{block}"
         if rest == "branch1_conv.weight":
             put_conv(prefix + ("proj",), key)
         elif rest == "branch1_norm.weight":
@@ -304,3 +319,152 @@ def convert_pytorchvideo_resnet_state_dict(
                 )
 
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Inverse (flax -> torch) exporters: the missing half of the interchange
+# layer. Exact inverses of the converters above (round-trip tested), so a
+# TPU-trained checkpoint can be validated or served in the reference's torch
+# stack (reference interchange: scripts/convert_official_to_hf.py:4-44).
+# ---------------------------------------------------------------------------
+
+
+def _inv_conv3d(w: np.ndarray) -> np.ndarray:
+    """flax (T, H, W, I, O) -> torch (O, I, T, H, W)."""
+    return np.transpose(np.asarray(w), (4, 3, 0, 1, 2))
+
+
+def _inv_conv1d(w: np.ndarray) -> np.ndarray:
+    """flax (K, I, O) -> torch (O, I, K)."""
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
+def _emit_bn(sd: Dict[str, np.ndarray], key: str, p: Mapping, s: Mapping) -> None:
+    sd[key + ".weight"] = np.asarray(p["scale"])
+    sd[key + ".bias"] = np.asarray(p["bias"])
+    sd[key + ".running_mean"] = np.asarray(s["mean"])
+    sd[key + ".running_var"] = np.asarray(s["var"])
+    sd[key + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def export_i3res50_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """flax I3Res50 variables -> the reference's torch state-dict layout
+    (src/i3d.py:198-318 module names). Exact inverse of
+    convert_i3res50_state_dict."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    sd["conv1.weight"] = _inv_conv3d(params["stem"]["conv"]["kernel"])
+    _emit_bn(sd, "bn1", params["stem"]["bn"], stats["stem"]["bn"])
+
+    idx_of = {"branch_a": "1", "branch_b": "2", "branch_c": "3"}
+    for name, node in params.items():
+        if not name.startswith("stage"):
+            continue
+        stage = int(name[5])
+        block = int(name.split("block")[1])
+        base = f"layer{stage}.{block}"
+        for sub, p in node.items():
+            snode = stats[name][sub]
+            if sub == "proj":
+                sd[base + ".downsample.0.weight"] = _inv_conv3d(p["conv"]["kernel"])
+                _emit_bn(sd, base + ".downsample.1", p["bn"], snode["bn"])
+            elif sub == "NonLocalBlock_0":
+                for conv in ("theta", "phi", "g", "out"):
+                    sd[base + f".nl.{conv}.weight"] = _inv_conv3d(p[conv]["kernel"])
+                    sd[base + f".nl.{conv}.bias"] = np.asarray(p[conv]["bias"])
+                _emit_bn(sd, base + ".nl.bn", p["bn"], snode["bn"])
+            else:
+                i = idx_of[sub]
+                sd[base + f".conv{i}.weight"] = _inv_conv3d(p["conv"]["kernel"])
+                _emit_bn(sd, base + f".bn{i}", p["bn"], snode["bn"])
+    return sd
+
+
+def export_pytorchvideo_resnet_state_dict(
+    variables: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """flax i3d_8x8_r50 variables -> pytorchvideo create_resnet state dict
+    (I3D_8x8_R50.pyth layout: stage1 pool is its own top-level block, so
+    stages live at blocks 1, 3, 4, 5). Exact inverse of
+    convert_pytorchvideo_resnet_state_dict."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    sd["blocks.0.conv.weight"] = _inv_conv3d(params["stem"]["conv"]["kernel"])
+    _emit_bn(sd, "blocks.0.norm", params["stem"]["bn"], stats["stem"]["bn"])
+
+    block_index = {1: 1, 2: 3, 3: 4, 4: 5}
+    letter = {"branch_a": "a", "branch_b": "b", "branch_c": "c"}
+    for name, node in params.items():
+        if not name.startswith("stage"):
+            continue
+        stage = int(name[5])
+        block = int(name.split("block")[1])
+        base = f"blocks.{block_index[stage]}.res_blocks.{block}"
+        for sub, p in node.items():
+            snode = stats[name][sub]
+            if sub == "proj":
+                sd[base + ".branch1_conv.weight"] = _inv_conv3d(p["conv"]["kernel"])
+                _emit_bn(sd, base + ".branch1_norm", p["bn"], snode["bn"])
+            else:
+                c = letter[sub]
+                sd[base + f".branch2.conv_{c}.weight"] = _inv_conv3d(p["conv"]["kernel"])
+                _emit_bn(sd, base + f".branch2.norm_{c}", p["bn"], snode["bn"])
+    return sd
+
+
+def export_mgfn_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """flax MGFN variables -> the reference's HF-style torch state dict
+    (src/models/mgfn/modeling_mgfn.py module names). Exact inverse of
+    convert_mgfn_state_dict."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv1d(key: str, node: Mapping, bias: bool = True) -> None:
+        sd[key + ".weight"] = _inv_conv1d(node["kernel"])
+        if bias:
+            sd[key + ".bias"] = np.asarray(node["bias"])
+
+    def put_chan_ln(key: str, node: Mapping) -> None:
+        # reference MGFNLayerNorm stores g/b as (1, dim, 1)
+        sd[key + ".g"] = np.asarray(node["g"]).reshape(1, -1, 1)
+        sd[key + ".b"] = np.asarray(node["b"]).reshape(1, -1, 1)
+
+    backbone = params["backbone"]
+    for name in ("to_tokens", "to_mag"):
+        put_conv1d(f"backbone.amplifier.{name}", backbone["amplifier"][name])
+
+    for name, node in backbone.items():
+        if not name.startswith("stage"):
+            continue
+        stage = int(name[5:].split("_")[0])
+        block = int(name.split("block")[1])
+        base = f"backbone.layers.{stage}.{block}"
+        if "scc" not in node:  # MGFNIntermediate
+            put_chan_ln(base + ".layer_norm", node["norm"])
+            put_conv1d(base + ".conv", node["conv"])
+            continue
+        put_conv1d(base + ".scc", node["scc"])
+        attn = node["attention"]
+        if "g" in attn["norm"]:  # glance: MGFNLayerNorm
+            put_chan_ln(base + ".attention.norm", attn["norm"])
+            put_conv1d(base + ".attention.to_qkv", attn["to_qkv"], bias=False)
+        else:  # focus: BatchNorm1d
+            _emit_bn(
+                sd, base + ".attention.norm", attn["norm"],
+                stats["backbone"][name]["attention"]["norm"],
+            )
+            put_conv1d(base + ".attention.to_v", attn["to_v"], bias=False)
+            put_conv1d(base + ".attention.rel_pos", attn["rel_pos"])
+        put_conv1d(base + ".attention.to_out", attn["to_out"])
+        put_chan_ln(base + ".ffn.layer_norm", node["ffn"]["norm"])
+        put_conv1d(base + ".ffn.in_conv", node["ffn"]["in_conv"])
+        put_conv1d(base + ".ffn.out_conv", node["ffn"]["out_conv"])
+
+    sd["layer_norm.weight"] = np.asarray(params["head_norm"]["scale"])
+    sd["layer_norm.bias"] = np.asarray(params["head_norm"]["bias"])
+    sd["fc.weight"] = np.asarray(params["fc"]["kernel"]).T
+    sd["fc.bias"] = np.asarray(params["fc"]["bias"])
+    return sd

