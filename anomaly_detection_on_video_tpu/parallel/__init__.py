@@ -1,4 +1,11 @@
-from .mesh import local_mesh, make_mesh
+from .mesh import initialize_multihost, local_mesh, make_mesh
 from .sharding import batch_sharding, replicate, shard_batch
 
-__all__ = ["local_mesh", "make_mesh", "batch_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "initialize_multihost",
+    "local_mesh",
+    "make_mesh",
+    "batch_sharding",
+    "replicate",
+    "shard_batch",
+]

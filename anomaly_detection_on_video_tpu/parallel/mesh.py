@@ -47,7 +47,23 @@ def local_mesh(max_devices: Optional[int] = None) -> Mesh:
     return make_mesh((len(devices),), ("data",), devices)
 
 
-def initialize_multihost(coordinator: Optional[str] = None) -> None:
-    """DCN multi-host init (no-op on a single host)."""
-    if jax.process_count() > 1 or coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator)
+def initialize_multihost(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """DCN multi-host init (no-op without a coordinator).
+
+    On TPU pods ``jax.distributed.initialize()`` autodetects everything from
+    the TPU metadata; pass ``coordinator``/``num_processes``/``process_id``
+    explicitly on other platforms (e.g. the 2-process CPU exercise in
+    tests/test_multihost.py). After this, ``jax.devices()`` is global and
+    ``make_mesh()`` spans all hosts; collectives ride DCN between hosts.
+    """
+    if coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
