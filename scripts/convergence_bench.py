@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Convergence benchmark: MGFN + RTFM on structured synthetic bags.
+
+Training-quality evidence that works air-gapped (the published UCF-Crime
+features need network, reference: src/dataset.py:20-21): both model families
+train on synthetic MIL bags whose anomalous windows carry elevated feature
+magnitude (data/synthetic.py) and must reach frame-AUC >> 0.5 reproducibly
+across seeds.
+
+Writes docs/convergence.json (per-model, per-seed AUC curves) and
+docs/convergence.png. Run: python scripts/convergence_bench.py
+(CPU-friendly: ~2-4 min). The slow test tier asserts the same property
+(tests/test_convergence.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DIM = 64
+SEEDS = (0, 1, 2)
+EPOCHS = 24
+MODELS = {
+    # scaled-down configs with the reference's shapes/ratios
+    "mgfn": dict(
+        channels=DIM, dims=(32, 64, 128), depths=(2, 2, 1), dim_head=16
+    ),
+    "rtfm": dict(channels=DIM, hidden_dims=(64, 32), margin=4.0),
+}
+
+
+class Capture:
+    def __init__(self):
+        self.auc = []
+        self.loss = []
+
+    def log(self, metrics, step):
+        if "valid/rec_auc" in metrics:
+            self.auc.append(float(metrics["valid/rec_auc"]))
+        if "train_loss_epoch" in metrics:
+            self.loss.append(float(metrics["train_loss_epoch"]))
+
+
+def run_one(model_name: str, seed: int, epochs: int = EPOCHS):
+    from anomaly_detection_on_video_tpu.data.synthetic import (
+        make_synthetic_eval,
+        make_synthetic_train,
+    )
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import (
+        VideoAnomalyDetectionRunner,
+    )
+
+    normal, abnormal = make_synthetic_train(seed, dim=DIM)
+    eval_ds = make_synthetic_eval(seed, dim=DIM)
+    _, model = build_model(model_name, **MODELS[model_name])
+    cap = Capture()
+    runner = VideoAnomalyDetectionRunner(
+        model,
+        optimizer_cfg={"learning_rate": 5e-4, "weight_decay": 5e-4},
+        loggers=[cap],
+        seed=seed,
+    )
+    runner.fit(
+        {"normal": normal, "abnormal": abnormal},
+        valid_dataset=eval_ds,
+        max_epochs=epochs,
+        batch_size=4,
+        shuffle=True,
+    )
+    return cap
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    results = {}
+    for model_name in MODELS:
+        results[model_name] = {}
+        for seed in SEEDS:
+            cap = run_one(model_name, seed)
+            results[model_name][str(seed)] = {
+                "rec_auc": cap.auc,
+                "train_loss": cap.loss,
+            }
+            print(
+                f"{model_name} seed {seed}: final AUC {cap.auc[-1]:.4f} "
+                f"(best {max(cap.auc):.4f})",
+                flush=True,
+            )
+
+    docs = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
+    os.makedirs(docs, exist_ok=True)
+    summary = {
+        m: {
+            "final_auc_per_seed": [results[m][str(s)]["rec_auc"][-1] for s in SEEDS],
+            "best_auc_per_seed": [max(results[m][str(s)]["rec_auc"]) for s in SEEDS],
+        }
+        for m in MODELS
+    }
+    payload = {
+        "config": {"dim": DIM, "seeds": list(SEEDS), "epochs": EPOCHS,
+                   "models": {k: dict(v) for k, v in MODELS.items()}},
+        "summary": summary,
+        "curves": results,
+    }
+    with open(os.path.join(docs, "convergence.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, len(MODELS), figsize=(10, 4), sharey=True)
+        for ax, m in zip(np.atleast_1d(axes), MODELS):
+            for s in SEEDS:
+                ax.plot(results[m][str(s)]["rec_auc"], label=f"seed {s}")
+            ax.axhline(0.5, color="gray", ls="--", lw=1)
+            ax.set_title(m)
+            ax.set_xlabel("epoch")
+            ax.set_ylim(0.3, 1.02)
+            ax.legend()
+        np.atleast_1d(axes)[0].set_ylabel("frame-level ROC AUC")
+        fig.suptitle("Convergence on structured synthetic bags")
+        fig.tight_layout()
+        fig.savefig(os.path.join(docs, "convergence.png"), dpi=80)
+    except Exception as exc:  # plot is cosmetic; JSON is the artifact
+        print(f"warning: plot failed: {exc}")
+
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

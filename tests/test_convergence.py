@@ -1,0 +1,62 @@
+"""Slow-tier training-quality evidence: convergence on structured bags.
+
+Companion to scripts/convergence_bench.py (which commits full AUC curves to
+docs/convergence.json): both MIL model families must learn to separate
+elevated-magnitude anomalous windows (data/synthetic.py) far beyond chance.
+The reference can only demonstrate this against its published UCF-Crime
+features (src/dataset.py:20-21); this is the air-gapped equivalent.
+"""
+
+import numpy as np
+import pytest
+
+from anomaly_detection_on_video_tpu.data.synthetic import (
+    make_synthetic_eval,
+    make_synthetic_train,
+)
+from anomaly_detection_on_video_tpu.models import build_model
+from anomaly_detection_on_video_tpu.training import VideoAnomalyDetectionRunner
+
+DIM = 64
+CONFIGS = {
+    "mgfn": dict(channels=DIM, dims=(32, 64, 128), depths=(2, 2, 1), dim_head=16),
+    "rtfm": dict(channels=DIM, hidden_dims=(64, 32), margin=4.0),
+}
+
+
+class _Capture:
+    def __init__(self):
+        self.auc = []
+
+    def log(self, metrics, step):
+        if "valid/rec_auc" in metrics:
+            self.auc.append(float(metrics["valid/rec_auc"]))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_name", sorted(CONFIGS))
+def test_converges_on_structured_bags(model_name):
+    """Best eval AUC over a short run must be >> 0.5 for two seeds."""
+    for seed in (0, 1):
+        normal, abnormal = make_synthetic_train(seed, dim=DIM)
+        eval_ds = make_synthetic_eval(seed, dim=DIM)
+        _, model = build_model(model_name, **CONFIGS[model_name])
+        cap = _Capture()
+        runner = VideoAnomalyDetectionRunner(
+            model,
+            optimizer_cfg={"learning_rate": 5e-4, "weight_decay": 5e-4},
+            loggers=[cap],
+            seed=seed,
+        )
+        runner.fit(
+            {"normal": normal, "abnormal": abnormal},
+            valid_dataset=eval_ds,
+            max_epochs=10,
+            batch_size=4,
+            shuffle=True,
+        )
+        best = max(cap.auc)
+        assert best > 0.8, (
+            f"{model_name} seed {seed}: best AUC {best:.3f} not >> 0.5 "
+            f"(curve: {np.round(cap.auc, 3).tolist()})"
+        )
