@@ -47,7 +47,7 @@ class FeatureExtractor:
         frames_per_clip: int = 16,
         resize: int = 256,
         cropsize: int = 224,
-        precise_resize: bool = True,
+        precise_resize: Optional[bool] = None,
         use_pallas_crop: bool = False,
         mesh: Optional["jax.sharding.Mesh"] = None,
         stream: str = "rgb",
@@ -85,8 +85,12 @@ class FeatureExtractor:
             short_side_size,
         )
 
-        # exact: PIL-bit-exact int32 path (VPU, slow) for parity runs;
-        # fast: f32 MXU path, ±1 LSB on ~1e-5 of pixels (see ops/resize.py)
+        # exact: PIL-bit-exact int32 path (VPU, ~2x slower) for parity runs;
+        # fast: f32 MXU path, ±1 LSB on ~1e-5 of pixels (see ops/resize.py).
+        # Default follows the compute dtype: f32 runs are parity runs, bf16
+        # runs are throughput runs (bf16 convs already break bit-parity)
+        if precise_resize is None:
+            precise_resize = dtype == jnp.float32
         resize_fn = resize_bilinear_exact if precise_resize else resize_bilinear_fast
 
         # Two separate jits: fusing the whole-chunk resize with the scan over
@@ -318,7 +322,7 @@ def extract_videos_pooled(
     video_paths: Sequence[str],
     outdir: str,
     extractor: Optional[FeatureExtractor] = None,
-    decode_workers: int = 4,
+    decode_workers: Optional[int] = None,
     queue_chunks: int = 3,
     chunk_frames: int = CHUNK_FRAMES,
     chunk_cache_for_large: bool = True,
@@ -348,6 +352,10 @@ def extract_videos_pooled(
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    if decode_workers is None:
+        # host decode is CPU-bound (~23 clips/s/core for 240x320 MJPEG,
+        # docs/ROOFLINE.md): default to one decode stream per core, capped
+        decode_workers = min(8, os.cpu_count() or 1)
     extractor = extractor or FeatureExtractor(**extractor_kwargs)
     os.makedirs(outdir, exist_ok=True)
     transform = extractor._host_transform()

@@ -3,13 +3,22 @@
 
 Prints ONE JSON line:
     {"metric": "i3d_extraction_clips_per_sec_per_chip", "value": N,
-     "unit": "clips/s", "vs_baseline": N}
+     "unit": "clips/s", "vs_baseline": N, "e2e_clips_per_sec": N,
+     "e2e_fraction_of_device": N, "decode_workers": N, "host_cores": N}
 
-Workload: the BASELINE.json config-1 shape — 16-frame clips at 224x224 under
-the 10-crop protocol, full device pipeline (fused resize/ten-crop/normalize
-preprocessing + batched (clips x crops) I3D forward), bf16 compute / f32
-features, steady state with forced readback (block_until_ready is unreliable
-under the axon tunnel, so completion is forced via a scalar fetch).
+Primary metric: the device pipeline (fused resize/ten-crop/normalize
+preprocessing + batched (clips x crops) I3D forward) on the BASELINE.json
+config-1 shape — 16-frame clips at 224x224 under the 10-crop protocol, bf16
+compute / f32 features, steady state with forced readback (block_until_ready
+is unreliable under the axon tunnel, so completion is forced via a scalar
+fetch).
+
+e2e_* fields: videos -> features INCLUDING host MJPEG decode, via the pooled
+decode path (data/extraction.py::extract_videos_pooled) on synthetic MJPEG
+videos. Host decode is CPU-bound at ~23 clips/s/core (docs/ROOFLINE.md), so
+e2e_fraction_of_device is hardware-limited by the host core count: feeding
+one saturated v5e chip needs ~decode_rate_device / 23 ~ 9+ cores. Pass
+--no-e2e to skip (e.g. when no writable scratch or cv2 is available).
 
 Baseline: A100 estimate for the reference implementation (torch fp32/TF32
 I3D-R50 with its sequential 10-crop loop, extract_features.py:85-89)
@@ -19,11 +28,101 @@ I3D-R50 with its sequential 10-crop loop, extract_features.py:85-89)
 from __future__ import annotations
 
 import json
+import os
+import sys
+import tempfile
 import time
 
 import numpy as np
 
 A100_BASELINE_CLIPS_PER_SEC = 100.0
+
+
+def bench_e2e(extractor, n_videos: int = 4, frames_per_video: int = 640):
+    """videos -> features clips/s including host decode (pooled path)."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        extract_videos_pooled,
+    )
+
+    rng = np.random.RandomState(1)
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = []
+        for i in range(n_videos):
+            path = os.path.join(tmp, f"bench_{i}.avi")
+            writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (320, 240)
+            )
+            # low-pass noise: realistic MJPEG entropy, deterministic
+            base = rng.randint(0, 256, (240, 320, 3), np.uint8)
+            for _ in range(frames_per_video):
+                base = np.clip(
+                    base.astype(np.int16)
+                    + rng.randint(-12, 13, base.shape, np.int16),
+                    0, 255,
+                ).astype(np.uint8)
+                writer.write(base)
+            writer.release()
+            paths.append(path)
+
+        outdir = os.path.join(tmp, "features")
+        n_clips = n_videos * (frames_per_video // 16)
+        device_busy = [0.0]
+        orig_extract = extractor.extract_frames
+
+        def timed_extract(frames):
+            t0 = time.time()
+            out = orig_extract(frames)
+            device_busy[0] += time.time() - t0
+            return out
+
+        # decode-only rate: the host-side roofline term (~23 clips/s/core
+        # for 240x320 MJPEG; see docs/ROOFLINE.md)
+        from anomaly_detection_on_video_tpu.data.video import VideoFrameSource
+
+        t0 = time.time()
+        n_frames = sum(
+            len(chunk) for chunk in VideoFrameSource(paths[0], 256)
+        )
+        decode_rate = (n_frames / 16) / (time.time() - t0)
+
+        # warm the compile caches for the exact per-chunk shape outside the
+        # clock (one chunk = one whole video here)
+        orig_extract(
+            rng.randint(0, 256, (frames_per_video, 240, 320, 3), np.uint8)
+        )
+        extractor.extract_frames = timed_extract
+        try:
+            t0 = time.time()
+            extract_videos_pooled(
+                paths, outdir, extractor, progress=False,
+                chunk_frames=frames_per_video,
+            )
+            wall = time.time() - t0
+        finally:
+            extractor.extract_frames = orig_extract
+        record = {
+            "e2e_clips_per_sec": round(n_clips / wall, 2),
+            "e2e_wall_s": round(wall, 2),
+            "e2e_device_busy_s": round(device_busy[0], 2),
+            "host_decode_clips_per_sec_per_core": round(decode_rate, 2),
+            "decode_workers": min(8, os.cpu_count() or 1),
+            "host_cores": os.cpu_count() or 1,
+        }
+        if device_busy[0] > 0.5 * wall:
+            # "device busy" includes the per-chunk host<->device transfers;
+            # when it dominates, e2e measures the transfer path (the axon
+            # tunnel runs at ~38 MB/s h2d), not the machine. The real host
+            # bound is decode: rate ~= decode_clips_per_sec * cores
+            # (docs/ROOFLINE.md).
+            record["e2e_note"] = (
+                "transfer/host-bound: projected e2e ~= "
+                "host_decode_clips_per_sec_per_core * host_cores"
+            )
+        return record
 
 
 def main() -> None:
@@ -60,16 +159,24 @@ def main() -> None:
     dt = time.time() - t0
     clips_per_sec = reps * n_clips / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "i3d_extraction_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 2),
-                "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "i3d_extraction_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+    }
+    if "--no-e2e" not in sys.argv:
+        try:
+            e2e = bench_e2e(extractor)
+        except Exception as exc:  # keep the primary metric printable
+            e2e = None
+            print(f"warning: e2e bench failed: {exc}", file=sys.stderr)
+        if e2e:
+            record.update(e2e)
+            record["e2e_fraction_of_device"] = round(
+                e2e["e2e_clips_per_sec"] / clips_per_sec, 3
+            )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

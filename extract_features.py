@@ -91,10 +91,11 @@ def main(argv=None) -> None:
                         help="report decode/device stage timers")
     parser.add_argument("--stream", default="rgb", choices=["rgb", "flow"],
                         help="two-stream support: RGB or optical-flow stream")
-    parser.add_argument("--decode-workers", type=int, default=1,
+    parser.add_argument("--decode-workers", type=int, default=None,
                         help=">1 decodes that many videos concurrently to "
                              "keep the chip fed (one decode stream is ~8x "
-                             "slower than the device)")
+                             "slower than the device); default auto-tunes "
+                             "to one per host core (capped at 8), 1 = serial")
     args = parser.parse_args(argv)
 
     import jax
@@ -145,9 +146,12 @@ def main(argv=None) -> None:
             parser.error("one of --videos / --hf-dataset is required")
         videos = find_videos(args.videos)
         outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
-        if args.decode_workers > 1:
+        decode_workers = args.decode_workers
+        if decode_workers is None:
+            decode_workers = min(8, os.cpu_count() or 1)
+        if decode_workers > 1:
             n = extract_videos_pooled(
-                videos, outdir, extractor, decode_workers=args.decode_workers
+                videos, outdir, extractor, decode_workers=decode_workers
             )
         else:
             n = extract_videos(videos, outdir, extractor, timer=timer)
