@@ -1,5 +1,10 @@
 from .mesh import initialize_multihost, local_mesh, make_mesh
-from .sharding import batch_sharding, replicate, shard_batch
+from .sharding import (
+    batch_sharding,
+    replicate,
+    shard_batch,
+    tensor_parallel_specs,
+)
 
 __all__ = [
     "initialize_multihost",
@@ -8,4 +13,5 @@ __all__ = [
     "batch_sharding",
     "replicate",
     "shard_batch",
+    "tensor_parallel_specs",
 ]

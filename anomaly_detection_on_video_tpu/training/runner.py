@@ -59,13 +59,21 @@ class TrainState(struct.PyTreeNode):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def make_train_step(mesh: Optional[jax.sharding.Mesh] = None):
+def make_train_step(
+    mesh: Optional[jax.sharding.Mesh] = None,
+    state: Optional["TrainState"] = None,
+):
     """Build the jit'd train step.
 
     With a mesh, the batch is sharded over the ``data`` axis (MIL bags) and
     params are replicated; XLA inserts the psum for gradients (SURVEY.md
     §2.2 DP row). The normal/abnormal halves stay aligned because the bag
     axis is sharded contiguously and both halves are equal-sized.
+
+    If the mesh also has a ``model`` axis and a ``state`` template is
+    given, weights and optimizer moments additionally shard tensor-parallel
+    over it (parallel/sharding.tensor_parallel_specs): GSPMD inserts the
+    activation collectives, so DP x TP runs from the same step function.
     """
 
     def step(state: TrainState, feature, normal_labels, abnormal_labels, rng):
@@ -103,9 +111,17 @@ def make_train_step(mesh: Optional[jax.sharding.Mesh] = None):
 
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
+    state_sharding = None
+    if state is not None and "model" in mesh.axis_names:
+        from ..parallel.sharding import tensor_parallel_specs
+
+        state_sharding = tensor_parallel_specs(state, mesh)
     return jax.jit(
         step,
-        in_shardings=(None, batch_sharding, batch_sharding, batch_sharding, replicated),
+        in_shardings=(
+            state_sharding, batch_sharding, batch_sharding, batch_sharding,
+            replicated,
+        ),
         donate_argnums=(0,),
     )
 
@@ -300,10 +316,26 @@ class VideoAnomalyDetectionRunner:
             jnp.asarray(example_batch[:2]),
         )
         self.state = TrainState.create(self.model, variables, self.tx)
+        if self.mesh is not None and "model" in self.mesh.axis_names:
+            # DP x TP: weights/moments shard over the model axis; the step
+            # is rebuilt with the state template so its in_shardings match
+            from ..parallel.sharding import tensor_parallel_specs
+
+            specs = tensor_parallel_specs(self.state, self.mesh)
+            self.state = jax.tree_util.tree_map(
+                jax.device_put, self.state, specs
+            )
+            self._train_step = make_train_step(self.mesh, state=self.state)
         return self.state
 
     def restore(self, state: TrainState) -> None:
         self.state = state
+        if self.mesh is not None and "model" in self.mesh.axis_names:
+            from ..parallel.sharding import tensor_parallel_specs
+
+            specs = tensor_parallel_specs(state, self.mesh)
+            self.state = jax.tree_util.tree_map(jax.device_put, state, specs)
+            self._train_step = make_train_step(self.mesh, state=self.state)
 
     def _log(self, metrics: Dict[str, float], step: int) -> None:
         for logger in self.loggers:

@@ -245,3 +245,69 @@ def test_print_model_size(capsys):
     line = print_model_size(state.variables)
     assert line == f"model size: {bits} / bit | {bits / 8e6:.2f} / MB"
     assert line in capsys.readouterr().out
+
+
+def test_dp_tp_train_step_matches_single_device(rng):
+    """DP x TP over a (4 data, 2 model) mesh must match single-device
+    execution: params/moments shard tensor-parallel
+    (parallel.tensor_parallel_specs), GSPMD inserts the collectives."""
+    from anomaly_detection_on_video_tpu.parallel import (
+        make_mesh,
+        tensor_parallel_specs,
+    )
+
+    feature, nlab, alab = make_batch(rng, bsz=8)
+    key = jax.random.PRNGKey(5)
+
+    model, state1 = tiny_state(dropout_rate=0.0, randomize=True)
+    single = make_train_step()
+    state1, loss1 = single(state1, feature, nlab, alab, key)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    model, state2 = tiny_state(dropout_rate=0.0, randomize=True)
+    specs = tensor_parallel_specs(state2, mesh)
+    # at least one weight must actually split over the model axis
+    assert any(
+        "model" in (s.spec or ()) for s in jax.tree_util.tree_leaves(specs)
+        if hasattr(s, "spec")
+    )
+    state2 = jax.tree_util.tree_map(jax.device_put, state2, specs)
+    sharded = make_train_step(mesh, state=state2)
+    sb = shard_batch(mesh, {"f": feature, "n": nlab, "a": alab})
+    state2, loss2 = sharded(state2, sb["f"], sb["n"], sb["a"], key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_runner_fit_with_tp_mesh(rng):
+    """The runner must train on a (data, model) mesh end-to-end (DP x TP)."""
+    from anomaly_detection_on_video_tpu.parallel import make_mesh
+
+    config, model = build_model("mgfn", **TINY)
+    normal = FeatureDataset(
+        filenames=[f"Normal_{i}_i3d.npy" for i in range(4)],
+        _arrays={
+            f"Normal_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(np.float32)
+            for i in range(4)
+        },
+    )
+    abnormal = FeatureDataset(
+        filenames=[f"Abuse_{i}_i3d.npy" for i in range(4)],
+        _arrays={
+            f"Abuse_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(np.float32)
+            for i in range(4)
+        },
+    )
+    mesh = make_mesh((4, 2), ("data", "model"))
+    runner = VideoAnomalyDetectionRunner(model, mesh=mesh)
+    result = runner.fit(
+        {"normal": normal, "abnormal": abnormal},
+        valid_dataset=make_eval_dataset(rng, n_videos=4),
+        max_epochs=1,
+        batch_size=4,
+    )
+    assert result is not None and 0.0 <= result.rec_auc <= 1.0
