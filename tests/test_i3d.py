@@ -214,3 +214,36 @@ def test_i3d_8x8_r50_matches_torch_oracle_f64(torch_8x8_model):
         )
     assert ours.shape == golden.shape == (1, 2048)
     np.testing.assert_allclose(ours, golden, atol=1e-10, rtol=1e-10)
+
+
+def test_i3res50_use_nl_matches_torch_oracle_f64():
+    """The non-local variant (reference src/i3d.py:124-195, nonlocal_mod=2 on
+    layers 2-3) must match its torch oracle in f64 — closes the last
+    untested reference-module path."""
+    torch.manual_seed(3)
+    tm = TorchI3Res50(use_nl=True)
+    randomize_bn_stats(tm, seed=3)
+    tm.eval()
+    variables = convert_i3res50_state_dict(tm.state_dict())
+
+    # converter must cover every torch param (incl. nl.* weights)
+    n_torch = sum(p.numel() for p in tm.state_dict().values()
+                  if p.dtype.is_floating_point)
+    n_flax = sum(np.asarray(l).size
+                 for l in jax.tree_util.tree_leaves(variables))
+    assert n_torch == n_flax
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 16, 64, 64, 3).astype(np.float64)
+    with torch.no_grad():
+        golden = tm.double()(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    golden = golden.numpy().squeeze(-1).squeeze(-1).squeeze(-1)
+
+    with jax.enable_x64(True):
+        v64 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64), variables
+        )
+        ours = np.asarray(
+            i3res50(dtype=jnp.float64, use_nl=True).apply(v64, jnp.asarray(x))
+        )
+    np.testing.assert_allclose(ours, golden, atol=1e-10, rtol=1e-10)

@@ -10,10 +10,44 @@ import torch
 from torch import nn
 
 
+class TorchNonLocalBlock(nn.Module):
+    """Embedded-Gaussian non-local block per SURVEY.md §C7 (reference
+    src/i3d.py:124-195): theta from x, phi/g from spatially max-pooled x,
+    scaled softmax over flattened THW, out conv + BN + residual."""
+
+    def __init__(self, dim, dim_inner):
+        super().__init__()
+        self.dim_inner = dim_inner
+        self.theta = nn.Conv3d(dim, dim_inner, kernel_size=1)
+        self.maxpool = nn.MaxPool3d(kernel_size=(1, 2, 2), stride=(1, 2, 2))
+        self.phi = nn.Conv3d(dim, dim_inner, kernel_size=1)
+        self.g = nn.Conv3d(dim, dim_inner, kernel_size=1)
+        self.out = nn.Conv3d(dim_inner, dim, kernel_size=1)
+        self.bn = nn.BatchNorm3d(dim)
+
+    def forward(self, x):
+        residual = x
+        bsz = x.shape[0]
+        mp = self.maxpool(x)
+        theta = self.theta(x)
+        phi, g = self.phi(mp), self.g(mp)
+        shape5d = theta.shape
+        theta = theta.view(bsz, self.dim_inner, -1)
+        phi = phi.view(bsz, self.dim_inner, -1)
+        g = g.view(bsz, self.dim_inner, -1)
+        attn = torch.softmax(
+            torch.bmm(theta.transpose(1, 2), phi) * self.dim_inner ** -0.5,
+            dim=-1,
+        )
+        t = torch.bmm(g, attn.transpose(1, 2)).view(shape5d)
+        return self.bn(self.out(t)) + residual
+
+
 class TorchBottleneck(nn.Module):
     """3D bottleneck per SURVEY.md §C7 (reference src/i3d.py:60-121)."""
 
-    def __init__(self, inplanes, planes, stride, downsample, temp_conv, temp_stride):
+    def __init__(self, inplanes, planes, stride, downsample, temp_conv,
+                 temp_stride, use_nl=False):
         super().__init__()
         self.conv1 = nn.Conv3d(
             inplanes, planes,
@@ -30,20 +64,27 @@ class TorchBottleneck(nn.Module):
         self.conv3 = nn.Conv3d(planes, planes * 4, kernel_size=1, bias=False)
         self.bn3 = nn.BatchNorm3d(planes * 4)
         self.downsample = downsample
+        self.nl = (
+            TorchNonLocalBlock(planes * 4, planes * 2) if use_nl else None
+        )
 
     def forward(self, x):
         out = torch.relu(self.bn1(self.conv1(x)))
         out = torch.relu(self.bn2(self.conv2(out)))
         out = self.bn3(self.conv3(out))
         residual = x if self.downsample is None else self.downsample(x)
-        return torch.relu(out + residual)
+        out = torch.relu(out + residual)
+        return out if self.nl is None else self.nl(out)
 
 
 class TorchI3Res50(nn.Module):
-    """I3Res50 (tushar-n) topology per SURVEY.md §C7, no non-local blocks."""
+    """I3Res50 (tushar-n) topology per SURVEY.md §C7; ``use_nl`` adds
+    non-local blocks to every odd block of layers 2-3 (nonlocal_mod=2,
+    reference src/i3d.py:219,296)."""
 
-    def __init__(self, layers=(3, 4, 6, 3)):
+    def __init__(self, layers=(3, 4, 6, 3), use_nl=False):
         super().__init__()
+        self.use_nl = use_nl
         self.inplanes = 64
         self.conv1 = nn.Conv3d(
             3, 64, kernel_size=(5, 7, 7), stride=(2, 2, 2), padding=(2, 3, 3),
@@ -53,12 +94,15 @@ class TorchI3Res50(nn.Module):
         self.maxpool1 = nn.MaxPool3d(kernel_size=(2, 3, 3), stride=(2, 2, 2))
         self.maxpool2 = nn.MaxPool3d(kernel_size=(2, 1, 1), stride=(2, 1, 1))
         self.layer1 = self._make_layer(64, layers[0], 1, [1, 1, 1], [1, 1, 1])
-        self.layer2 = self._make_layer(128, layers[1], 2, [1, 0, 1, 0], [1] * 4)
-        self.layer3 = self._make_layer(256, layers[2], 2, [1, 0, 1, 0, 1, 0], [1] * 6)
+        self.layer2 = self._make_layer(
+            128, layers[1], 2, [1, 0, 1, 0], [1] * 4, nl=use_nl)
+        self.layer3 = self._make_layer(
+            256, layers[2], 2, [1, 0, 1, 0, 1, 0], [1] * 6, nl=use_nl)
         self.layer4 = self._make_layer(512, layers[3], 2, [0, 1, 0], [1] * 3)
         self.avgpool = nn.AdaptiveAvgPool3d((1, 1, 1))
 
-    def _make_layer(self, planes, blocks, stride, temp_conv, temp_stride):
+    def _make_layer(self, planes, blocks, stride, temp_conv, temp_stride,
+                    nl=False):
         downsample = None
         if stride != 1 or self.inplanes != planes * 4 or temp_stride[0] != 1:
             downsample = nn.Sequential(
@@ -74,7 +118,8 @@ class TorchI3Res50(nn.Module):
         self.inplanes = planes * 4
         for i in range(1, blocks):
             layers.append(TorchBottleneck(
-                self.inplanes, planes, 1, None, temp_conv[i], temp_stride[i]
+                self.inplanes, planes, 1, None, temp_conv[i], temp_stride[i],
+                use_nl=nl and i % 2 == 1,
             ))
         return nn.Sequential(*layers)
 
