@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Inference CLI: raw videos -> per-frame anomaly scores, in one command.
+
+The deployment surface the reference leaves implicit (its runner only
+evaluates pre-extracted features against GT, src/runner.py:42-79): this
+drives the full TPU pipeline — streaming decode, fused ten-crop
+preprocessing, batched I3D features, MGFN/RTFM scoring with padded-bucket
+masking — and writes per-video score JSON (plus optional overlay figures).
+
+    python infer.py --videos /data/videos --checkpoint ckpts/ --outdir scores
+    python infer.py --videos v.mp4 --torch-weights mgfn_hf.pt --outdir scores
+
+Checkpoints: an orbax directory written by run.py (``--checkpoint``), or a
+torch MGFN state dict (``--torch-weights``, HF layout; ``--official`` for
+the official-release layout, utils/convert.py). Features can be cached and
+reused across runs (``--features-dir``, same on-disk contract as
+extract_features.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+VIDEO_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm", ".mpg", ".mpeg")
+
+
+def find_videos(spec: str):
+    if os.path.isdir(spec):
+        return sorted(
+            os.path.join(spec, f)
+            for f in os.listdir(spec)
+            if f.lower().endswith(VIDEO_EXTS)
+        )
+    if os.path.isfile(spec):
+        return [spec]
+    return sorted(glob.glob(spec))
+
+
+def build_scorer(args):
+    """(apply_fn, variables, eval_step) for the selected scorer model."""
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training.runner import make_eval_step
+
+    overrides = {}
+    for kv in args.model_config or []:
+        key, _, value = kv.partition("=")
+        overrides[key] = json.loads(value)
+    _, model = build_model(args.model, **overrides)
+
+    if args.torch_weights:
+        import torch
+
+        from anomaly_detection_on_video_tpu.utils.convert import (
+            convert_mgfn_state_dict,
+            convert_official_mgfn_state_dict,
+        )
+
+        state_dict = torch.load(args.torch_weights, map_location="cpu")
+        if isinstance(state_dict, dict) and "state_dict" in state_dict:
+            state_dict = state_dict["state_dict"]
+        convert = (
+            convert_official_mgfn_state_dict
+            if args.official
+            else convert_mgfn_state_dict
+        )
+        variables = convert(state_dict)
+    elif args.checkpoint:
+        from anomaly_detection_on_video_tpu.training import TrainState
+        from anomaly_detection_on_video_tpu.training.checkpoints import (
+            TopKCheckpointer,
+        )
+        from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+        # train-mode init needs >= 2 bags (normal/abnormal halves)
+        example = jnp.zeros((2, 10, 32, 2049), jnp.float32)
+        init = jax.jit(model.init, static_argnames=("train",))(
+            {
+                "params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+            },
+            example,
+            train=True,
+        )
+        template = TrainState.create(model, init, adam_with_l2())
+        state = TopKCheckpointer(args.checkpoint).restore_latest(template)
+        if int(state.step) == 0:
+            print(
+                f"warning: no checkpoint found under {args.checkpoint!r}; "
+                "scoring with random weights",
+                file=sys.stderr,
+            )
+        variables = state.variables
+    else:
+        raise SystemExit("one of --checkpoint / --torch-weights is required")
+
+    return model.apply, variables, make_eval_step()
+
+
+def score_features(features, apply_fn, variables, eval_step):
+    """(n_clips, 10, 2048) f32 features -> (n_clips,) anomaly scores."""
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.features import add_magnitude
+    from anomaly_detection_on_video_tpu.training.runner import eval_bucket
+
+    n_clips = features.shape[0]
+    bucket = eval_bucket(n_clips)
+    feats = np.zeros((1, 10, bucket, features.shape[-1] + 1), np.float32)
+    # (n, 10, C+1) -> (10, n, C+1), zero-padded to the bucket (masked by the
+    # model's length argument — bit-exact vs unpadded, see models/mgfn)
+    feats[0, :, :n_clips] = add_magnitude(features).transpose(1, 0, 2)
+    scores = eval_step(
+        variables, apply_fn, jnp.asarray(feats),
+        jnp.asarray([n_clips], np.int32),
+    )
+    return np.asarray(scores)[0, :n_clips, 0]
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--videos", required=True,
+                        help="video file, directory, or glob")
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--checkpoint", help="orbax checkpoint dir (run.py)")
+    parser.add_argument("--torch-weights", help="torch MGFN state dict (.pt)")
+    parser.add_argument("--official", action="store_true",
+                        help="--torch-weights uses the official-release "
+                             "layout instead of the HF layout")
+    parser.add_argument("--model", default="mgfn", choices=["mgfn", "rtfm"])
+    parser.add_argument("--model-config", nargs="*", metavar="KEY=JSON",
+                        help="model config overrides, e.g. dims=[64,128,1024]")
+    parser.add_argument("--i3d-model", default="tushar-n-baseline")
+    parser.add_argument("--i3d-weights", default=None,
+                        help="torch I3D state dict (.pt); random init if unset")
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--batch", type=int, default=240)
+    parser.add_argument("--features-dir", default=None,
+                        help="cache/reuse <stem>_i3d.npy features here")
+    parser.add_argument("--frames-per-clip", type=int, default=16)
+    parser.add_argument("--figure", action="store_true",
+                        help="write a <stem>_scores.png overlay per video")
+    args = parser.parse_args(argv)
+
+    videos = find_videos(args.videos)
+    if not videos:
+        raise SystemExit(f"no videos match {args.videos!r}")
+    os.makedirs(args.outdir, exist_ok=True)
+
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        FeatureExtractor,
+        feature_filename,
+    )
+    from anomaly_detection_on_video_tpu.ops.metrics import frame_level_scores
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from extract_features import load_weights
+
+    extractor = FeatureExtractor(
+        model_name=args.i3d_model,
+        variables=load_weights(args.i3d_weights, args.i3d_model),
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        batch=args.batch,
+        frames_per_clip=args.frames_per_clip,
+    )
+    apply_fn, variables, eval_step = build_scorer(args)
+
+    for path in videos:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        feat_path = (
+            os.path.join(args.features_dir, feature_filename(stem))
+            if args.features_dir
+            else None
+        )
+        if feat_path and os.path.exists(feat_path):
+            features = np.load(feat_path)
+        else:
+            features = extractor.extract_video(path)
+            if feat_path:
+                from anomaly_detection_on_video_tpu.utils.npyio import (
+                    atomic_save,
+                )
+
+                os.makedirs(args.features_dir, exist_ok=True)
+                atomic_save(feat_path, features)
+
+        clip_scores = score_features(features, apply_fn, variables, eval_step)
+        frame_scores = frame_level_scores(clip_scores, args.frames_per_clip)
+
+        out = {
+            "video": os.path.basename(path),
+            "model": args.model,
+            "n_clips": int(features.shape[0]),
+            "frames_per_clip": args.frames_per_clip,
+            "clip_scores": np.round(clip_scores, 6).tolist(),
+            "frame_scores": np.round(frame_scores, 6).tolist(),
+        }
+        out_path = os.path.join(args.outdir, f"{stem}_scores.json")
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+        print(
+            f"{stem}: {features.shape[0]} clips, "
+            f"max score {clip_scores.max():.4f} -> {out_path}"
+        )
+
+        if args.figure:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(12, 3))
+            ax.plot(frame_scores)
+            ax.set_ylim(0, 1.02)
+            ax.set_xlabel("frame")
+            ax.set_ylabel("anomaly score")
+            ax.set_title(stem)
+            fig.tight_layout()
+            fig.savefig(os.path.join(args.outdir, f"{stem}_scores.png"), dpi=80)
+            plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

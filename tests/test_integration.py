@@ -150,3 +150,51 @@ def test_run_cli_requires_model_selection():
     )
     assert result.returncode != 0
     assert "runner=mgfn" in result.stderr
+
+
+@pytest.mark.slow
+def test_infer_cli_end_to_end(tmp_path):
+    """infer.py: raw video + orbax checkpoint -> per-frame score JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    write_video(videos / "Abuse_demo.avi", n_frames=40)
+
+    # a tiny-width MGFN checkpoint over the real 2048-d feature interface
+    overrides = dict(dims=(16, 16, 32), depths=(1, 1, 1), dim_head=8)
+    _, model = build_model("mgfn", **overrides)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 32, 2049), jnp.float32),
+        train=True,
+    )
+    state = TrainState.create(model, variables, adam_with_l2())
+    ckpt = TopKCheckpointer(str(tmp_path / "ckpts"))
+    ckpt.save(step=1, state=state, metric=0.5)
+    ckpt.wait()
+
+    outdir = tmp_path / "scores"
+    run_cli(
+        "infer.py",
+        "--videos", str(videos),
+        "--checkpoint", str(tmp_path / "ckpts"),
+        "--outdir", str(outdir),
+        "--dtype", "float32",
+        "--batch", "10",
+        "--model-config", "dims=[16,16,32]", "depths=[1,1,1]", "dim_head=8",
+        "--figure",
+    )
+    out = json.loads((outdir / "Abuse_demo_scores.json").read_text())
+    assert out["n_clips"] == 3  # 40 frames -> 3 x 16-frame clips (loop-pad)
+    assert len(out["frame_scores"]) == 3 * 16
+    assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
+    assert (outdir / "Abuse_demo_scores.png").exists()
