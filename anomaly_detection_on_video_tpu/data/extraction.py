@@ -51,10 +51,20 @@ class FeatureExtractor:
         use_pallas_crop: bool = False,
         mesh: Optional["jax.sharding.Mesh"] = None,
         stream: str = "rgb",
+        flow_backend: Optional[str] = None,
     ):
         if stream not in ("rgb", "flow"):
             raise ValueError(f"stream must be rgb or flow, got {stream!r}")
+        if flow_backend not in (None, "host", "device"):
+            raise ValueError(
+                f"flow_backend must be host or device, got {flow_backend!r}"
+            )
         self.stream = stream
+        # device Farneback (ops/flow.py) removes the ~84 ms/frame host
+        # bottleneck; default to it on TPU, keep cv2 elsewhere
+        if flow_backend is None:
+            flow_backend = "device" if jax.default_backend() == "tpu" else "host"
+        self.flow_backend = flow_backend
         self.channels = 3 if stream == "rgb" else 2
         self.model = build_i3d_feature_extractor(model_name, dtype=dtype)
         if variables is None:
@@ -242,10 +252,23 @@ class FeatureExtractor:
         return np.vstack(outputs)
 
     def _host_transform(self):
-        """Per-chunk host transform for the active stream (None for RGB)."""
+        """Per-chunk transform for the active stream (None for RGB).
+
+        The flow stream turns decoded RGB chunks into quantized uint8 flow:
+        either cv2 Farneback on the host (data/flow.py) or the jit'd device
+        Farneback (ops/flow.py) depending on ``flow_backend``.
+        """
         if self.stream != "flow":
             return None
-        from .flow import compute_flow, flow_to_uint8
+        from .flow import flow_to_uint8
+
+        if self.flow_backend == "device":
+            from ..ops.flow import compute_flow_device
+
+            return lambda chunk: flow_to_uint8(
+                np.asarray(compute_flow_device(chunk))
+            )
+        from .flow import compute_flow
 
         return lambda chunk: flow_to_uint8(compute_flow(chunk))
 
