@@ -332,10 +332,96 @@ def extract_videos(
     return n_done
 
 
+def extract_videos_two_stream(
+    video_paths: Sequence[str],
+    outdir: str,
+    rgb_extractor: Optional[FeatureExtractor] = None,
+    flow_extractor: Optional[FeatureExtractor] = None,
+    chunk_frames: int = CHUNK_FRAMES,
+    chunk_cache_for_large: bool = True,
+    progress: bool = True,
+    **extractor_kwargs,
+) -> int:
+    """Two-stream (RGB + flow) extraction sharing ONE decode pass.
+
+    Running the streams separately decodes every video twice; on
+    decode-bound hosts that halves throughput (docs/ROOFLINE.md). Here each
+    decoded chunk feeds the RGB extractor directly and the flow extractor
+    through its flow transform, writing ``<stem>_i3d.npy`` and
+    ``<stem>_flow.npy`` per video. Idempotency is per stream: a video is
+    re-decoded only if either output is missing.
+    """
+    rgb_extractor = rgb_extractor or FeatureExtractor(
+        stream="rgb", **extractor_kwargs
+    )
+    flow_extractor = flow_extractor or FeatureExtractor(
+        stream="flow", **extractor_kwargs
+    )
+    if rgb_extractor.stream != "rgb" or flow_extractor.stream != "flow":
+        raise ValueError("extractors must be (rgb, flow) in that order")
+    os.makedirs(outdir, exist_ok=True)
+    transform = flow_extractor._host_transform()
+
+    iterator: Iterable[str] = video_paths
+    if progress:
+        try:
+            from tqdm.auto import tqdm
+
+            iterator = tqdm(video_paths)
+        except ImportError:
+            pass
+    n_done = 0
+    for path in iterator:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        rgb_path = os.path.join(outdir, feature_filename(stem, "rgb"))
+        flow_path = os.path.join(outdir, feature_filename(stem, "flow"))
+        need_rgb = not os.path.exists(rgb_path)
+        need_flow = not os.path.exists(flow_path)
+        if not (need_rgb or need_flow):
+            continue
+        cache = (
+            outdir if chunk_cache_for_large and is_large_video(path) else None
+        )
+        rgb_chunks, flow_chunks = [], []
+        index = -1
+        for index, chunk in enumerate(VideoFrameSource(path, chunk_frames)):
+            if need_rgb:
+                rgb_chunks.append(_cached_chunk(
+                    rgb_extractor, chunk, path, index, cache
+                ))
+            if need_flow:
+                flow_chunks.append(_cached_chunk(
+                    flow_extractor, transform(chunk), path, index, cache
+                ))
+        if index < 0:
+            raise ValueError(
+                f"{path}: decoded zero frames (corrupt or empty video)"
+            )
+        if need_rgb:
+            atomic_save(rgb_path, np.vstack(rgb_chunks))
+        if need_flow:
+            atomic_save(flow_path, np.vstack(flow_chunks))
+        n_done += 1
+    return n_done
+
+
+def _cached_chunk(extractor, chunk, path, index, cache):
+    """Extract one chunk with the extractor's per-chunk cache semantics."""
+    if cache is not None:
+        chunk_path = extractor.chunk_cache_path(cache, path, index)
+        if os.path.exists(chunk_path):
+            return np.load(chunk_path)
+        feats = extractor.extract_frames(chunk)
+        atomic_save(chunk_path, feats)
+        return feats
+    return extractor.extract_frames(chunk)
+
+
 __all__ = [
     "FeatureExtractor",
     "extract_videos",
     "extract_videos_pooled",
+    "extract_videos_two_stream",
     "feature_filename",
     "segment_video_features",
 ]

@@ -89,8 +89,10 @@ def main(argv=None) -> None:
                         help="shard the clip axis over all local devices")
     parser.add_argument("--profile", action="store_true",
                         help="report decode/device stage timers")
-    parser.add_argument("--stream", default="rgb", choices=["rgb", "flow"],
-                        help="two-stream support: RGB or optical-flow stream")
+    parser.add_argument("--stream", default="rgb",
+                        choices=["rgb", "flow", "both"],
+                        help="two-stream support: RGB, optical-flow, or "
+                             "both in one shared decode pass")
     parser.add_argument("--decode-workers", type=int, default=None,
                         help=">1 decodes that many videos concurrently to "
                              "keep the chip fed (one decode stream is ~8x "
@@ -105,6 +107,7 @@ def main(argv=None) -> None:
         FeatureExtractor,
         extract_videos,
         extract_videos_pooled,
+        extract_videos_two_stream,
         segment_video_features,
     )
 
@@ -114,16 +117,19 @@ def main(argv=None) -> None:
 
         mesh = local_mesh()
 
-    extractor = FeatureExtractor(
-        model_name=args.model,
-        variables=load_weights(args.weights, args.model),
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        batch=args.batch,
-        # float32 runs are parity runs: use the PIL-bit-exact resize
-        precise_resize=(args.dtype == "float32"),
-        mesh=mesh,
-        stream=args.stream,
-    )
+    def make_extractor(stream):
+        return FeatureExtractor(
+            model_name=args.model,
+            variables=load_weights(args.weights, args.model),
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+            batch=args.batch,
+            # float32 runs are parity runs: use the PIL-bit-exact resize
+            precise_resize=(args.dtype == "float32"),
+            mesh=mesh,
+            stream=stream,
+        )
+
+    extractor = make_extractor("rgb" if args.stream == "both" else args.stream)
 
     timer = None
     if args.profile:
@@ -149,7 +155,11 @@ def main(argv=None) -> None:
         decode_workers = args.decode_workers
         if decode_workers is None:
             decode_workers = min(8, os.cpu_count() or 1)
-        if decode_workers > 1:
+        if args.stream == "both":
+            n = extract_videos_two_stream(
+                videos, outdir, extractor, make_extractor("flow")
+            )
+        elif decode_workers > 1:
             n = extract_videos_pooled(
                 videos, outdir, extractor, decode_workers=decode_workers
             )

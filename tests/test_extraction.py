@@ -256,3 +256,41 @@ def test_empty_video_raises_clear_error(extractor, tmp_path):
         extract_videos_pooled(
             [path], str(tmp_path / "out"), extractor, progress=False
         )
+
+
+def test_two_stream_shared_decode(tmp_path, rng):
+    """--stream both: one decode pass writes both <stem>_i3d.npy and
+    <stem>_flow.npy, matching the single-stream outputs."""
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        FeatureExtractor,
+        extract_videos,
+        extract_videos_two_stream,
+    )
+
+    import cv2
+
+    video = str(tmp_path / "two_stream.avi")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for _ in range(24):
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+    rgb_ex = FeatureExtractor(dtype=jnp.float32, batch=10)
+    flow_ex = FeatureExtractor(dtype=jnp.float32, batch=10, stream="flow",
+                               flow_backend="host")
+    both = tmp_path / "both"
+    n = extract_videos_two_stream([video], str(both), rgb_ex, flow_ex,
+                                  progress=False)
+    assert n == 1
+    single = tmp_path / "single"
+    extract_videos([video], str(single), rgb_ex, progress=False)
+    extract_videos([video], str(single), flow_ex, progress=False)
+    for name in ("_i3d.npy", "_flow.npy"):
+        stem = os.path.splitext(os.path.basename(video))[0]
+        a = np.load(str(both / f"{stem}{name}"))
+        b = np.load(str(single / f"{stem}{name}"))
+        np.testing.assert_array_equal(a, b)
+    # idempotent: second call decodes nothing
+    assert extract_videos_two_stream([video], str(both), rgb_ex, flow_ex,
+                                     progress=False) == 0
