@@ -23,7 +23,7 @@ This kernel restructures the whole section:
   1.4x tap redundancy.
 - **fused epilogue**: folded-BN affine, ReLU, the temporal max (row-half
   max of the packed pair) and the pool's h-axis max run on-register; only
-  an h-pooled (B, T/4, 64, 56, 116) tensor is written. The remaining
+  an h-pooled (B, T/4, 56, 64, 116) tensor is written. The remaining
   w-axis max is a cheap strided ``reduce_window`` left to XLA
   (lane-strided ops are unsupported in Mosaic): see ``stem_pool_w``.
 

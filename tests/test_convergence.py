@@ -51,7 +51,9 @@ def test_converges_on_structured_bags(model_name):
         runner.fit(
             {"normal": normal, "abnormal": abnormal},
             valid_dataset=eval_ds,
-            max_epochs=10,
+            # RTFM converges monotonically but slower than MGFN (see
+            # docs/convergence.json): 16 epochs clear 0.8 on every seed
+            max_epochs=16,
             batch_size=4,
             shuffle=True,
         )
