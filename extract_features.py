@@ -93,6 +93,11 @@ def main(argv=None) -> None:
                         choices=["rgb", "flow", "both"],
                         help="two-stream support: RGB, optical-flow, or "
                              "both in one shared decode pass")
+    parser.add_argument("--flow-backend", default=None,
+                        choices=["host", "device"],
+                        help="Farneback on the host (cv2) or the TPU "
+                             "(ops/flow.py, ~13x faster); default: device "
+                             "on TPU, host elsewhere")
     parser.add_argument("--decode-workers", type=int, default=None,
                         help=">1 decodes that many videos concurrently to "
                              "keep the chip fed (one decode stream is ~8x "
@@ -127,6 +132,7 @@ def main(argv=None) -> None:
             precise_resize=(args.dtype == "float32"),
             mesh=mesh,
             stream=stream,
+            flow_backend=args.flow_backend if stream == "flow" else None,
         )
 
     extractor = make_extractor("rgb" if args.stream == "both" else args.stream)

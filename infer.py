@@ -57,6 +57,11 @@ def build_scorer(args):
     _, model = build_model(args.model, **overrides)
 
     if args.torch_weights:
+        if args.model != "mgfn":
+            raise SystemExit(
+                "--torch-weights converters exist for MGFN only; "
+                f"use an orbax --checkpoint for {args.model}"
+            )
         import torch
 
         from anomaly_detection_on_video_tpu.utils.convert import (
