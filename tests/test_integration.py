@@ -198,3 +198,36 @@ def test_infer_cli_end_to_end(tmp_path):
     assert len(out["frame_scores"]) == 3 * 16
     assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
     assert (outdir / "Abuse_demo_scores.png").exists()
+
+
+@pytest.mark.slow
+def test_infer_cli_torch_weights(tmp_path):
+    """infer.py with a converted torch MGFN state dict (HF layout)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_mgfn import oracle_to_hf_state_dict
+    from torch_oracles import OracleMGFN
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    write_video(videos / "Normal_demo.avi", n_frames=24)
+
+    torch.manual_seed(0)
+    oracle = OracleMGFN()  # full reference dims
+    oracle.eval()
+    weights = tmp_path / "mgfn_hf.pt"
+    torch.save(oracle_to_hf_state_dict(oracle), str(weights))
+
+    outdir = tmp_path / "scores"
+    run_cli(
+        "infer.py",
+        "--videos", str(videos),
+        "--torch-weights", str(weights),
+        "--outdir", str(outdir),
+        "--dtype", "float32",
+        "--batch", "10",
+    )
+    out = json.loads((outdir / "Normal_demo_scores.json").read_text())
+    assert out["n_clips"] == 2
+    assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
