@@ -112,8 +112,16 @@ def _load_group(config_dir: str, group: str, choice: str) -> Dict[str, Any]:
         if entry == "_self_":
             merged = merge(merged, content)
             continue
-        sibling = entry if isinstance(entry, str) else "/".join(*entry.items())
-        merged = merge(merged, _load_group(config_dir, group, sibling))
+        if isinstance(entry, str):
+            merged = merge(merged, _load_group(config_dir, group, entry))
+        else:
+            # {subgroup: choice} selects group/subgroup/<choice>.yaml and
+            # nests its content under the subgroup key (Hydra semantics)
+            (sub, choice), = entry.items()
+            merged = merge(
+                merged,
+                {sub: _load_group(config_dir, f"{group}/{sub}", str(choice))},
+            )
     if "_self_" not in nested:
         merged = merge(merged, content)
     return merged

@@ -391,7 +391,8 @@ def extract_videos_two_stream(
                 ))
             if need_flow:
                 flow_chunks.append(_cached_chunk(
-                    flow_extractor, transform(chunk), path, index, cache
+                    flow_extractor, chunk, path, index, cache,
+                    transform=transform,
                 ))
         if index < 0:
             raise ValueError(
@@ -405,15 +406,23 @@ def extract_videos_two_stream(
     return n_done
 
 
-def _cached_chunk(extractor, chunk, path, index, cache):
-    """Extract one chunk with the extractor's per-chunk cache semantics."""
+def _cached_chunk(extractor, chunk, path, index, cache, transform=None):
+    """Extract one chunk with the extractor's per-chunk cache semantics.
+
+    ``transform`` (e.g. the flow stream's Farneback pass) runs only on a
+    cache miss, so resumed runs skip its cost entirely.
+    """
     if cache is not None:
         chunk_path = extractor.chunk_cache_path(cache, path, index)
         if os.path.exists(chunk_path):
             return np.load(chunk_path)
+        if transform is not None:
+            chunk = transform(chunk)
         feats = extractor.extract_frames(chunk)
         atomic_save(chunk_path, feats)
         return feats
+    if transform is not None:
+        chunk = transform(chunk)
     return extractor.extract_frames(chunk)
 
 
@@ -500,7 +509,12 @@ def extract_videos_pooled(
         try:
             index = -1
             for index, chunk in enumerate(VideoFrameSource(path, chunk_frames)):
-                if transform is not None:
+                cached = cache is not None and os.path.exists(
+                    extractor.chunk_cache_path(cache, path, index)
+                )
+                if transform is not None and not cached:
+                    # skip the (expensive) flow transform for chunks the
+                    # consumer will restore from its per-chunk cache anyway
                     chunk = transform(chunk)
                 if not _put(("chunk", savepath, index, (path, cache, chunk))):
                     return

@@ -423,6 +423,9 @@ class I3DResNet(nn.Module):
         )
         use_fused_stage1 = (
             self.fused_stage1
+            # the fused block kernel is specialized to the 55x55 pooled
+            # plane of 224x224 clips — other shapes fall back like the stem
+            and x.shape[1:] == (16, 224, 224, 3)
             and self.stages[0][2] == 1
             and all(ts == 1 for ts in self.stages[0][4])
             and 0 not in self.nonlocal_stages

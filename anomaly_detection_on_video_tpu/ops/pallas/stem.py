@@ -51,7 +51,7 @@ S_ROWS = 2 * P_ROWS + 1  # stem rows needed (overlapping pool windows)
 I_BLK = S_ROWS + 4  # h-phase rows per tile (+3 conv halo, +1 so the
 # largest tap's flat window (start 351 + M_FLAT) stays inside the tile)
 JW = 116  # padded w-phase width; stem w positions computed per row
-M_FLAT = S_ROWS * JW  # 1044 matmul positions per (tile, u)
+M_FLAT = S_ROWS * JW  # 1972 matmul positions per (tile, u)
 N_HB = 7  # h tiles: 7 * P_ROWS = 56 pooled rows (55 valid + overhang)
 
 

@@ -51,16 +51,22 @@ def initialize_multihost(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    autodetect: bool = False,
 ) -> None:
-    """DCN multi-host init (no-op without a coordinator).
+    """DCN multi-host init.
 
-    On TPU pods ``jax.distributed.initialize()`` autodetects everything from
-    the TPU metadata; pass ``coordinator``/``num_processes``/``process_id``
-    explicitly on other platforms (e.g. the 2-process CPU exercise in
-    tests/test_multihost.py). After this, ``jax.devices()`` is global and
-    ``make_mesh()`` spans all hosts; collectives ride DCN between hosts.
+    On TPU pods pass ``autodetect=True``: ``jax.distributed.initialize()``
+    discovers the coordinator/process topology from the TPU metadata. On
+    other platforms pass ``coordinator``/``num_processes``/``process_id``
+    explicitly (e.g. the 2-process CPU exercise in tests/test_multihost.py).
+    With neither, this is a deliberate no-op (single-host run). After
+    initialization ``jax.devices()`` is global and ``make_mesh()`` spans
+    all hosts; collectives ride DCN between hosts.
     """
+    if coordinator is None and not autodetect:
+        return
     if coordinator is None:
+        jax.distributed.initialize()
         return
     jax.distributed.initialize(
         coordinator_address=coordinator,

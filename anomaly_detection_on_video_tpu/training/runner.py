@@ -172,7 +172,7 @@ def evaluate(
     the data-parallel axis), a throughput upgrade the reference's batch-1
     loop (src/runner.py:127-132) cannot express. ``pad_groups`` pads the
     final ragged group of each bucket to a full ``batch_videos`` by repeating
-    its first video (padded outputs dropped): required for mesh-sharded eval
+    its last video (padded outputs dropped): required for mesh-sharded eval
     (the sharded batch axis must divide evenly) and it also keeps the
     compiled-shape count at one per bucket.
     """

@@ -150,7 +150,12 @@ def main(argv=None) -> None:
         for mode, split in dataset.items():
             videos = [s["video_path"] for s in split]
             outdir = os.path.join(args.outdir, "anomaly_features", mode)
-            n = extract_videos(videos, outdir, extractor, timer=timer)
+            if args.stream == "both":
+                n = extract_videos_two_stream(
+                    videos, outdir, extractor, make_extractor("flow")
+                )
+            else:
+                n = extract_videos(videos, outdir, extractor, timer=timer)
             print(f"{mode}: extracted {n} new videos -> {outdir}")
         train_dir = os.path.join(args.outdir, "anomaly_features", "train")
     else:
@@ -161,6 +166,12 @@ def main(argv=None) -> None:
         decode_workers = args.decode_workers
         if decode_workers is None:
             decode_workers = min(8, os.cpu_count() or 1)
+        if timer is not None and decode_workers > 1:
+            # the pooled path has no per-stage timers (decode runs in a
+            # worker pool); fall back to the serial path so --profile works
+            print("--profile forces --decode-workers 1 (serial path)",
+                  file=sys.stderr)
+            decode_workers = 1
         if args.stream == "both":
             n = extract_videos_two_stream(
                 videos, outdir, extractor, make_extractor("flow")

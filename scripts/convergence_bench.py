@@ -78,7 +78,12 @@ def run_one(model_name: str, seed: int, epochs: int = EPOCHS):
 
 
 def main() -> None:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the image pins JAX_PLATFORMS=axon; env vars alone cannot force CPU
+    # (same bootstrap as tests/conftest.py / __graft_entry__.py)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     results = {}
     for model_name in MODELS:
         results[model_name] = {}
