@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""One-command TPU regression smoke: runs every device-facing path on the
+real chip and prints one PASS/FAIL line per check.
+
+Covers what the CPU test suite cannot: real-Mosaic compilation of the
+Pallas kernels (interpret mode on CPU can pass where the TPU compiler
+rejects — e.g. tiled-layout shape casts), real conv/layout behavior, and
+rough throughput sanity against the measured baselines in
+.claude/skills/verify/SKILL.md. Run after any change to ops/ or models/:
+
+    python scripts/tpu_smoke.py            # ~5-10 min warm, longer cold
+
+Exit code 0 iff every check passes (timing checks only WARN — the tunnel
+makes absolute numbers noisy).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+FAILURES = []
+
+
+def check(name, fn):
+    t0 = time.time()
+    try:
+        msg = fn() or ""
+        print(f"PASS  {name:34s} {time.time()-t0:6.1f}s  {msg}", flush=True)
+    except Exception as exc:
+        FAILURES.append(name)
+        print(f"FAIL  {name:34s} {time.time()-t0:6.1f}s  "
+              f"{str(exc).splitlines()[0][:120]}", flush=True)
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def smoke_extraction():
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import FeatureExtractor
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (64, 240, 320, 3), np.uint8)
+    ex = FeatureExtractor(dtype=jnp.bfloat16, batch=40)
+    feats = ex.extract_frames(frames)
+    assert feats.shape == (4, 10, 2048), feats.shape
+    assert np.isfinite(feats).all()
+    return f"features {feats.shape}"
+
+
+def smoke_fused_kernels():
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models.i3d import i3res50
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 224, 224, 3).astype(np.float32) * 0.3,
+                    jnp.bfloat16)
+    base = i3res50(dtype=jnp.bfloat16)
+    fused = i3res50(dtype=jnp.bfloat16, fused_stem=True, fused_stage1=True)
+    v = jax.jit(base.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 224, 224, 3)))
+    a = np.asarray(base.apply(v, x), np.float32)
+    b = np.asarray(fused.apply(v, x), np.float32)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 3e-2, f"fused-vs-unfused rel diff {rel:.3e}"
+    return f"rel diff {rel:.2e} (real Mosaic compile)"
+
+
+def smoke_device_flow():
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.ops.flow import compute_flow_device
+
+    rng = np.random.RandomState(2)
+    base = rng.rand(120, 160).astype(np.float32)
+    # smooth via repeated box blur (no scipy dependency on device hosts)
+    for _ in range(30):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
+    base = (base - base.min()) / (np.ptp(base) + 1e-9) * 255
+    shifted = np.roll(base, (2, -3), axis=(0, 1))  # dy=+2, dx=-3
+    frames = np.repeat(np.stack([base, shifted]).astype(np.uint8)[..., None],
+                       3, axis=-1)
+    flow = np.asarray(compute_flow_device(jnp.asarray(frames))) * 20.0
+    est = np.median(flow[1, 20:-20, 20:-20].reshape(-1, 2), axis=0)
+    assert abs(est[0] - (-3)) < 0.5 and abs(est[1] - 2) < 0.5, est
+    return f"translation est ({est[0]:+.2f}, {est[1]:+.2f}) vs (-3, +2)"
+
+
+def smoke_train_step():
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+    from anomaly_detection_on_video_tpu.training.runner import make_train_step
+
+    rng = np.random.RandomState(3)
+    _, model = build_model("mgfn")
+    feature = jnp.asarray(rng.randn(8, 10, 32, 2049).astype(np.float32))
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        feature[:2], train=True)
+    state = TrainState.create(model, v, adam_with_l2())
+    step = make_train_step()
+    state, loss = step(state, feature, jnp.zeros(4), jnp.ones(4),
+                       jax.random.PRNGKey(2))
+    loss = float(loss)
+    assert np.isfinite(loss)
+    return f"loss {loss:.4f}"
+
+
+def smoke_throughput():
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import FeatureExtractor
+
+    rng = np.random.RandomState(4)
+    n_clips = 94
+    frames = rng.randint(0, 256, (n_clips * 16, 240, 320, 3), np.uint8)
+    ex = FeatureExtractor(dtype=jnp.bfloat16)
+    ex.extract_frames(frames)  # compile
+    x = jax.device_put(ex.pad_frames(frames))
+    for _ in range(2):
+        sync(ex._extract(ex.variables, x)[0])
+    t0 = time.time()
+    reps = 5
+    out = None
+    for _ in range(reps):
+        out = ex._extract(ex.variables, x)
+    sync(out[0])
+    rate = reps * n_clips / (time.time() - t0)
+    note = "" if rate > 150 else "  WARN: below the ~203 clips/s baseline"
+    return f"{rate:.0f} clips/s{note}"
+
+
+def main() -> None:
+    import jax
+
+    print(f"devices: {jax.devices()}", flush=True)
+    check("extraction pipeline", smoke_extraction)
+    check("fused Pallas kernels (opt-in)", smoke_fused_kernels)
+    check("device optical flow", smoke_device_flow)
+    check("MGFN train step", smoke_train_step)
+    check("extraction throughput", smoke_throughput)
+    if FAILURES:
+        raise SystemExit(f"FAILED: {FAILURES}")
+    print("all TPU smoke checks passed")
+
+
+if __name__ == "__main__":
+    main()
