@@ -80,6 +80,13 @@ def parse_overrides(args: Iterable[str]) -> Tuple[Dict[str, str], List[Tuple[str
         allow_new = key.startswith("+")
         key = key.lstrip("+")
         value = yaml.safe_load(raw) if raw != "" else None
+        if isinstance(value, str):
+            # YAML 1.1 parses bare scientific notation ("1e-3") as a string;
+            # Hydra treats it as a float — match that (plain words stay str)
+            try:
+                value = float(value)
+            except ValueError:
+                pass
         if "." not in key and not allow_new:
             # group selection (e.g. runner=mgfn); resolved against config dir
             groups[key] = str(raw)

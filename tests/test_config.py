@@ -1,0 +1,72 @@
+"""Unit tests for the Hydra-like composer (config/compose.py).
+
+The reference's composition grammar (reference: configs/default.yaml:1-9 +
+run.py:15-16): defaults lists, group re-selection, dotted value overrides,
++new keys, group-local nested defaults.
+"""
+
+import os
+
+import pytest
+
+from anomaly_detection_on_video_tpu.config.compose import compose
+
+
+def write(root, rel, text):
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+@pytest.fixture
+def tree(tmp_path):
+    root = str(tmp_path)
+    write(root, "default.yaml",
+          "defaults:\n  - data: base\n  - trainer: base\n  - _self_\nseed: 0\n")
+    write(root, "data/base.yaml", "batch_size: 16\npath: /a\n")
+    write(root, "data/alt.yaml", "batch_size: 4\npath: /b\n")
+    write(root, "trainer/base.yaml",
+          "defaults:\n  - {logger: wandb}\n  - callbacks\nmax_epochs: 10\n")
+    write(root, "trainer/logger/wandb.yaml", "project: demo\nlog_model: true\n")
+    write(root, "trainer/callbacks.yaml", "monitor: auc\n")
+    return root
+
+
+def test_group_composition_and_self(tree):
+    cfg = compose(tree, "default", [])
+    assert cfg["seed"] == 0
+    assert cfg["data"]["batch_size"] == 16
+    assert cfg["trainer"]["max_epochs"] == 10
+
+
+def test_nested_dict_defaults_nest_under_subgroup(tree):
+    """{logger: wandb} inside trainer/base.yaml must land at
+    trainer.logger.* (Hydra semantics), not merge flat."""
+    cfg = compose(tree, "default", [])
+    assert cfg["trainer"]["logger"] == {"project": "demo", "log_model": True}
+    # plain string entries merge flat (group-local siblings)
+    assert cfg["trainer"]["monitor"] == "auc"
+
+
+def test_group_reselect_and_value_overrides(tree):
+    cfg = compose(tree, "default", ["data=alt", "trainer.max_epochs=3"])
+    assert cfg["data"]["path"] == "/b"
+    assert cfg["trainer"]["max_epochs"] == 3
+    assert cfg["_choices_"]["data"] == "alt"
+
+
+def test_yaml_typed_values_and_new_keys(tree):
+    cfg = compose(tree, "default", ["data.batch_size=1e-3", "+extra.k=[1,2]"])
+    assert cfg["data"]["batch_size"] == pytest.approx(1e-3)
+    assert cfg["extra"]["k"] == [1, 2]
+
+
+def test_unknown_override_key_errors(tree):
+    with pytest.raises(KeyError, match="does not exist"):
+        compose(tree, "default", ["data.nope=1"])
+
+
+def test_unknown_group_choice_errors(tree):
+    with pytest.raises(FileNotFoundError, match="available"):
+        compose(tree, "default", ["data=missing"])
