@@ -311,3 +311,25 @@ def test_runner_fit_with_tp_mesh(rng):
         batch_size=4,
     )
     assert result is not None and 0.0 <= result.rec_auc <= 1.0
+
+
+def test_infer_score_features_bucket_boundaries(rng):
+    """infer.score_features must handle clip counts at and across bucket
+    boundaries (32 -> 32, 33 -> 64) with masked padding."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    from infer import score_features
+    from anomaly_detection_on_video_tpu.training.runner import make_eval_step
+
+    model, state = tiny_state(randomize=True)
+    eval_step = make_eval_step()
+    for n_clips in (3, 32, 33):
+        feats = rng.randn(n_clips, 10, FDIM - 1).astype(np.float32)
+        scores = score_features(feats, state.apply_fn, state.variables, eval_step)
+        assert scores.shape == (n_clips,)
+        assert np.isfinite(scores).all()
+        assert (scores >= 0).all() and (scores <= 1).all()
