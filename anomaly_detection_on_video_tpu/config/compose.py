@@ -22,9 +22,15 @@ from __future__ import annotations
 
 import copy
 import os
+import re
 from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import yaml
+
+# Bare scientific notation that YAML 1.1 parses as a string but Hydra treats
+# as a float (e.g. "1e-3"). Quoted tokens never match (the quote chars break
+# the pattern), and words like "nan"/"inf" stay strings, matching Hydra.
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
 
 
 def load_yaml(path: str) -> Dict[str, Any]:
@@ -65,11 +71,20 @@ def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, allow_new: bool) -> 
     node[last] = value
 
 
-def parse_overrides(args: Iterable[str]) -> Tuple[Dict[str, str], List[Tuple[str, Any, bool]]]:
+def parse_overrides(
+    args: Iterable[str], config_dir: Optional[str] = None
+) -> Tuple[Dict[str, str], List[Tuple[str, Any, bool]]]:
     """Split CLI args into group selections and value overrides.
 
     Returns ``(group_choices, value_overrides)`` where value_overrides are
     ``(dotted_key, parsed_value, allow_new)`` tuples.
+
+    A dot-free ``key=value`` is a group selection only when ``key`` names a
+    config-group *directory* under ``config_dir``; otherwise it is a root
+    value override (Hydra behavior — ``seed=1`` and ``wandb_key=KEY`` are
+    plain overrides of root keys, reference: configs/default.yaml:9,
+    run.py:9-12). Without a ``config_dir`` every dot-free key is treated as
+    a group selection (legacy behavior, kept for direct callers).
     """
     groups: Dict[str, str] = {}
     values: List[Tuple[str, Any, bool]] = []
@@ -80,14 +95,16 @@ def parse_overrides(args: Iterable[str]) -> Tuple[Dict[str, str], List[Tuple[str
         allow_new = key.startswith("+")
         key = key.lstrip("+")
         value = yaml.safe_load(raw) if raw != "" else None
-        if isinstance(value, str):
+        if isinstance(value, str) and _SCI_FLOAT.match(raw):
             # YAML 1.1 parses bare scientific notation ("1e-3") as a string;
-            # Hydra treats it as a float — match that (plain words stay str)
-            try:
-                value = float(value)
-            except ValueError:
-                pass
-        if "." not in key and not allow_new:
+            # Hydra treats it as a float — match that. Keying off the raw
+            # token keeps explicitly quoted strings ('"1e-3"') and bare
+            # words (nan, inf) as strings, like Hydra.
+            value = float(value)
+        is_group = "." not in key and not allow_new
+        if is_group and config_dir is not None:
+            is_group = os.path.isdir(os.path.join(config_dir, key))
+        if is_group:
             # group selection (e.g. runner=mgfn); resolved against config dir
             groups[key] = str(raw)
         else:
@@ -160,7 +177,7 @@ def compose(
     """
     root = load_yaml(os.path.join(config_dir, f"{config_name}.yaml"))
     defaults = root.pop("defaults", [])
-    group_over, value_over = parse_overrides(overrides or [])
+    group_over, value_over = parse_overrides(overrides or [], config_dir)
 
     cfg: Dict[str, Any] = {}
     choices: Dict[str, str] = {}

@@ -17,6 +17,38 @@ import os
 import sys
 
 
+def build_mesh(trainer_cfg):
+    """Device mesh from the trainer config.
+
+    ``tensor_parallel: N > 1`` builds a 2-D (data, model) DP x TP mesh —
+    weights/optimizer moments shard over the model axis via
+    parallel.tensor_parallel_specs (same shape as __graft_entry__'s
+    multichip dryrun); otherwise ``data_parallel: true`` builds the 1-D
+    data mesh. Returns None when neither applies (single device).
+    """
+    tensor_parallel = int(trainer_cfg.get("tensor_parallel", 1))
+    if not trainer_cfg.get("data_parallel", False) and tensor_parallel <= 1:
+        return None
+    import jax
+
+    from anomaly_detection_on_video_tpu.parallel import local_mesh, make_mesh
+
+    n_devices = len(jax.devices())
+    if tensor_parallel > 1:
+        if n_devices % tensor_parallel:
+            raise SystemExit(
+                f"trainer.tensor_parallel={tensor_parallel} does not "
+                f"divide the {n_devices} available devices"
+            )
+        return make_mesh(
+            (n_devices // tensor_parallel, tensor_parallel),
+            ("data", "model"),
+        )
+    if n_devices > 1:
+        return local_mesh()
+    return None
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
 
@@ -76,14 +108,7 @@ def main(argv=None) -> None:
             top_k=int(ckpt_cfg.get("save_top_k", 10)),
         )
 
-    mesh = None
-    if trainer_cfg.get("data_parallel", False):
-        import jax
-
-        from anomaly_detection_on_video_tpu.parallel import local_mesh
-
-        if len(jax.devices()) > 1:
-            mesh = local_mesh()
+    mesh = build_mesh(trainer_cfg)
 
     runner = VideoAnomalyDetectionRunner(
         model,

@@ -70,3 +70,35 @@ def test_unknown_override_key_errors(tree):
 def test_unknown_group_choice_errors(tree):
     with pytest.raises(FileNotFoundError, match="available"):
         compose(tree, "default", ["data=missing"])
+
+
+def test_root_scalar_override(tree):
+    """Dot-free keys that do not name a config-group directory are root value
+    overrides, not group selections (Hydra behavior; reference run.py:9-12
+    documents `wandb_key=KEY` as the W&B enable path)."""
+    cfg = compose(tree, "default", ["seed=1"])
+    assert cfg["seed"] == 1
+    # still errors helpfully for unknown root keys
+    with pytest.raises(KeyError, match="does not exist"):
+        compose(tree, "default", ["sede=1"])
+
+
+def test_root_scalar_override_on_repo_configs():
+    """CLI-level check against the real configs/ tree: the reference's
+    documented `wandb_key=KEY` and `seed=N` overrides must compose."""
+    repo_configs = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = compose(repo_configs, "default", ["runner=mgfn", "seed=7", "wandb_key=abc"])
+    assert cfg["seed"] == 7
+    assert cfg["wandb_key"] == "abc"
+    assert cfg["runner"]["model_class"]
+
+
+def test_quoted_string_values_stay_strings(tree):
+    """Explicitly quoted tokens must not be float-coerced (Hydra preserves
+    quoted strings): +extra.k='1e-3' stays the string '1e-3'."""
+    cfg = compose(tree, "default", ['+extra.k="1e-3"', "+extra.w=nan"])
+    assert cfg["extra"]["k"] == "1e-3"
+    assert cfg["extra"]["w"] == "nan"  # bare words stay strings too
+    # unquoted scientific notation is still a float
+    cfg = compose(tree, "default", ["+extra.lr=2.5e-4"])
+    assert cfg["extra"]["lr"] == pytest.approx(2.5e-4)
