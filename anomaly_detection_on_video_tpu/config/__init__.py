@@ -1,4 +1,11 @@
-from .compose import compose, load_yaml, merge, parse_overrides, to_container
+from .compose import (
+    compose,
+    load_yaml,
+    merge,
+    parse_overrides,
+    parse_value,
+    to_container,
+)
 from .registry import instantiate, locate
 
 __all__ = [
@@ -6,6 +13,7 @@ __all__ = [
     "load_yaml",
     "merge",
     "parse_overrides",
+    "parse_value",
     "to_container",
     "instantiate",
     "locate",

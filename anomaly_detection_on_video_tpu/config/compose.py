@@ -71,6 +71,22 @@ def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, allow_new: bool) -> 
     node[last] = value
 
 
+def parse_value(raw: str) -> Any:
+    """Parse one CLI override value with Hydra-style scalar semantics.
+
+    YAML typing (``[1,2]`` lists, ``true`` bools, numbers) plus the
+    scientific-notation float coercion; quoted tokens stay strings.
+    Raises ValueError naming the offending token on unparseable input.
+    """
+    try:
+        value = yaml.safe_load(raw) if raw != "" else None
+    except yaml.YAMLError as exc:
+        raise ValueError(f"could not parse override value {raw!r}: {exc}")
+    if isinstance(value, str) and _SCI_FLOAT.match(raw):
+        value = float(value)
+    return value
+
+
 def parse_overrides(
     args: Iterable[str], config_dir: Optional[str] = None
 ) -> Tuple[Dict[str, str], List[Tuple[str, Any, bool]]]:
@@ -94,13 +110,11 @@ def parse_overrides(
         key, _, raw = arg.partition("=")
         allow_new = key.startswith("+")
         key = key.lstrip("+")
-        value = yaml.safe_load(raw) if raw != "" else None
-        if isinstance(value, str) and _SCI_FLOAT.match(raw):
-            # YAML 1.1 parses bare scientific notation ("1e-3") as a string;
-            # Hydra treats it as a float — match that. Keying off the raw
-            # token keeps explicitly quoted strings ('"1e-3"') and bare
-            # words (nan, inf) as strings, like Hydra.
-            value = float(value)
+        # YAML 1.1 parses bare scientific notation ("1e-3") as a string;
+        # Hydra treats it as a float — parse_value matches that, keying off
+        # the raw token so explicitly quoted strings ('"1e-3"') and bare
+        # words (nan, inf) stay strings, like Hydra.
+        value = parse_value(raw)
         is_group = "." not in key and not allow_new
         if is_group and config_dir is not None:
             is_group = os.path.isdir(os.path.join(config_dir, key))

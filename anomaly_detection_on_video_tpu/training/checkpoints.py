@@ -6,16 +6,27 @@ here by monitoring the actual logged metric).
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+METADATA_FILE = "hparams.json"
+
 
 class TopKCheckpointer:
-    """Keeps the top-k states by metric plus the most recent state."""
+    """Keeps the top-k states by metric plus the most recent state.
+
+    Checkpoint directories are self-describing: ``write_metadata`` persists
+    the run's hyperparameters (model class/config, data and optimizer
+    settings) as ``hparams.json`` next to the orbax steps — the role of the
+    reference's ``save_hyperparameters`` (reference: src/runner.py:23) — so
+    ``infer.py --checkpoint`` can rebuild the exact model without the user
+    re-supplying ``--model-config`` overrides.
+    """
 
     def __init__(self, directory: str, top_k: int = 10, every_n_steps: int = 0):
         self.directory = os.path.abspath(directory)
@@ -71,6 +82,24 @@ class TopKCheckpointer:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def write_metadata(self, metadata: Dict[str, Any]) -> str:
+        """Atomically persist run hyperparameters as <dir>/hparams.json."""
+        path = os.path.join(self.directory, METADATA_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+        os.replace(tmp, path)
+        return path
+
+    @staticmethod
+    def load_metadata(directory: str) -> Optional[Dict[str, Any]]:
+        """Read hparams.json from a checkpoint dir (None if absent)."""
+        path = os.path.join(os.path.abspath(directory), METADATA_FILE)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def wait(self) -> None:
         self.manager.wait_until_finished()

@@ -43,24 +43,59 @@ def find_videos(spec: str):
 
 
 def build_scorer(args):
-    """(apply_fn, variables, eval_step) for the selected scorer model."""
+    """(apply_fn, variables, eval_step, model_name) for the scorer model.
+
+    Model resolution: an orbax checkpoint written by run.py is
+    self-describing (hparams.json, training/checkpoints.py); its persisted
+    model class + config are used unless the user passes ``--model``
+    explicitly, and individual ``--model-config`` keys override the
+    persisted config (reference parity: save_hyperparameters,
+    /root/reference/src/runner.py:23).
+    """
     import jax
     import jax.numpy as jnp
 
+    from anomaly_detection_on_video_tpu.config import instantiate, locate
+    from anomaly_detection_on_video_tpu.config.compose import parse_value
     from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
     from anomaly_detection_on_video_tpu.training.runner import make_eval_step
 
     overrides = {}
     for kv in args.model_config or []:
         key, _, value = kv.partition("=")
-        overrides[key] = json.loads(value)
-    _, model = build_model(args.model, **overrides)
+        try:
+            # YAML-style scalars like the run CLI (config/compose.py):
+            # dims=[64,128,1024], mgfn_types=[gb,fb,fb], dropout_rate=0.7
+            overrides[key] = parse_value(value)
+        except ValueError as exc:
+            raise SystemExit(f"--model-config {kv!r}: {exc}")
+
+    metadata = (
+        TopKCheckpointer.load_metadata(args.checkpoint)
+        if args.checkpoint
+        else None
+    )
+    if metadata and not args.model:
+        node = dict(metadata.get("model_config") or {})
+        node.update(overrides)
+        model_name = metadata.get("model_name") or "mgfn"
+        if "_target_" in node and metadata.get("model_class"):
+            model = locate(metadata["model_class"])(instantiate(node))
+        else:
+            node.pop("_target_", None)
+            _, model = build_model(model_name, **node)
+    else:
+        model_name = args.model or "mgfn"
+        _, model = build_model(model_name, **overrides)
 
     if args.torch_weights:
-        if args.model != "mgfn":
+        if model_name != "mgfn":
             raise SystemExit(
                 "--torch-weights converters exist for MGFN only; "
-                f"use an orbax --checkpoint for {args.model}"
+                f"use an orbax --checkpoint for {model_name}"
             )
         import torch
 
@@ -80,13 +115,12 @@ def build_scorer(args):
         variables = convert(state_dict)
     elif args.checkpoint:
         from anomaly_detection_on_video_tpu.training import TrainState
-        from anomaly_detection_on_video_tpu.training.checkpoints import (
-            TopKCheckpointer,
-        )
         from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
 
-        # train-mode init needs >= 2 bags (normal/abnormal halves)
-        example = jnp.zeros((2, 10, 32, 2049), jnp.float32)
+        # train-mode init needs >= 2 bags (normal/abnormal halves); feature
+        # dim = channels + 1 magnitude (2049 at the reference defaults)
+        channels = getattr(getattr(model, "config", None), "channels", 2048)
+        example = jnp.zeros((2, 10, 32, channels + 1), jnp.float32)
         init = jax.jit(model.init, static_argnames=("train",))(
             {
                 "params": jax.random.PRNGKey(0),
@@ -107,7 +141,7 @@ def build_scorer(args):
     else:
         raise SystemExit("one of --checkpoint / --torch-weights is required")
 
-    return model.apply, variables, make_eval_step()
+    return model.apply, variables, make_eval_step(), model_name
 
 
 def score_features(features, apply_fn, variables, eval_step):
@@ -140,9 +174,13 @@ def main(argv=None) -> None:
     parser.add_argument("--official", action="store_true",
                         help="--torch-weights uses the official-release "
                              "layout instead of the HF layout")
-    parser.add_argument("--model", default="mgfn", choices=["mgfn", "rtfm"])
-    parser.add_argument("--model-config", nargs="*", metavar="KEY=JSON",
-                        help="model config overrides, e.g. dims=[64,128,1024]")
+    parser.add_argument("--model", default=None, choices=["mgfn", "rtfm"],
+                        help="scorer family; defaults to the checkpoint's "
+                             "persisted hparams.json (else mgfn)")
+    parser.add_argument("--model-config", nargs="*", metavar="KEY=VALUE",
+                        help="model config overrides (YAML-style values, "
+                             "e.g. dims=[64,128,1024] mgfn_types=[gb,fb,fb]); "
+                             "applied on top of the checkpoint's hparams")
     parser.add_argument("--i3d-model", default="tushar-n-baseline")
     parser.add_argument("--i3d-weights", default=None,
                         help="torch I3D state dict (.pt); random init if unset")
@@ -179,7 +217,7 @@ def main(argv=None) -> None:
         batch=args.batch,
         frames_per_clip=args.frames_per_clip,
     )
-    apply_fn, variables, eval_step = build_scorer(args)
+    apply_fn, variables, eval_step, model_name = build_scorer(args)
 
     for path in videos:
         stem = os.path.splitext(os.path.basename(path))[0]
@@ -205,7 +243,7 @@ def main(argv=None) -> None:
 
         out = {
             "video": os.path.basename(path),
-            "model": args.model,
+            "model": model_name,
             "n_clips": int(features.shape[0]),
             "frames_per_clip": args.frames_per_clip,
             "clip_scores": np.round(clip_scores, 6).tolist(),

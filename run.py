@@ -107,6 +107,19 @@ def main(argv=None) -> None:
             ckpt_cfg["dirpath"],
             top_k=int(ckpt_cfg.get("save_top_k", 10)),
         )
+        # self-describing checkpoints (role of the reference's
+        # save_hyperparameters, src/runner.py:23): infer.py rebuilds the
+        # model from this without --model-config flags
+        checkpointer.write_metadata(
+            {
+                "model_name": cfg.get("_choices_", {}).get("runner"),
+                "model_class": runner_cfg["model_class"],
+                "model_config": runner_cfg["model_config"],
+                "optimizer": runner_cfg.get("optimizer", {}),
+                "data": data_cfg,
+                "seed": cfg.get("seed", 0),
+            }
+        )
 
     mesh = build_mesh(trainer_cfg)
 

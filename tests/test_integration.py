@@ -139,8 +139,11 @@ def test_full_pipeline(tmp_path):
     records = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
     keys = {k for r in records for k in r}
     assert {"train_loss", "valid/rec_auc", "valid/pr_auc"} <= keys
-    # checkpoints written
+    # checkpoints written, self-describing (hparams.json, run.py)
     assert any(os.scandir(run_dir / "ckpt"))
+    hparams = json.load(open(run_dir / "ckpt" / "hparams.json"))
+    assert hparams["model_name"] == "mgfn"
+    assert hparams["model_config"]["dims"] == [16, 16, 32]
 
 
 @pytest.mark.slow
@@ -221,6 +224,25 @@ def test_infer_cli_end_to_end(tmp_path):
     ckpt = TopKCheckpointer(str(tmp_path / "ckpts"))
     ckpt.save(step=1, state=state, metric=0.5)
     ckpt.wait()
+    # self-describing checkpoint (as run.py writes): no --model-config flags
+    # needed on the infer CLI even though the config is non-default
+    ckpt.write_metadata(
+        {
+            "model_name": "mgfn",
+            "model_class": (
+                "anomaly_detection_on_video_tpu.models.mgfn."
+                "MGFNForVideoAnomalyDetection"
+            ),
+            "model_config": {
+                "_target_": (
+                    "anomaly_detection_on_video_tpu.models.mgfn.MGFNConfig"
+                ),
+                "dims": [16, 16, 32],
+                "depths": [1, 1, 1],
+                "dim_head": 8,
+            },
+        }
+    )
 
     outdir = tmp_path / "scores"
     run_cli(
@@ -230,7 +252,6 @@ def test_infer_cli_end_to_end(tmp_path):
         "--outdir", str(outdir),
         "--dtype", "float32",
         "--batch", "10",
-        "--model-config", "dims=[16,16,32]", "depths=[1,1,1]", "dim_head=8",
         "--figure",
     )
     out = json.loads((outdir / "Abuse_demo_scores.json").read_text())
