@@ -424,7 +424,9 @@ class I3DResNet(nn.Module):
         use_fused_stage1 = (
             self.fused_stage1
             # the fused block kernel is specialized to the 55x55 pooled
-            # plane of 224x224 clips — other shapes fall back like the stem
+            # plane the i3res50 stem produces from 224x224 clips — any other
+            # stem geometry (e.g. i3d_8x8_r50's 56x56 plane) falls back
+            and self._i3res50_stem_geometry()
             and x.shape[1:] == (16, 224, 224, 3)
             and self.stages[0][2] == 1
             and all(ts == 1 for ts in self.stages[0][4])

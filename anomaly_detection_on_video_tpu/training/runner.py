@@ -127,6 +127,19 @@ def make_train_step(
 
 
 def make_eval_step(mesh: Optional[jax.sharding.Mesh] = None):
+    """Build the jit'd scoring step.
+
+    With a mesh the video-batch axis shards over ``data``. The returned
+    callable also works when the mesh spans multiple processes (SURVEY §2.2
+    DP row: "all-gather eval scores before AUC"): every process feeds the
+    same full host batch, inputs are globalized onto the mesh
+    (each process donating its addressable shards), and the sharded scores
+    are all-gathered back so ``np.asarray`` on the result is valid on every
+    host — the reference's single-GPU eval semantics, reproduced across a
+    pod (its Lightning runner would silently compute per-rank AUC under
+    DDP, src/runner.py:62-90).
+    """
+
     def score(variables, apply_fn, feature, length):
         return apply_fn(variables, feature, length=length).scores
 
@@ -136,11 +149,39 @@ def make_eval_step(mesh: Optional[jax.sharding.Mesh] = None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch = NamedSharding(mesh, P("data"))
-    return jax.jit(
+    jitted = jax.jit(
         score,
         static_argnums=(1,),
         in_shardings=(None, batch, batch),
     )
+    if all(
+        d.process_index == jax.process_index() for d in mesh.devices.flat
+    ):
+        return jitted  # single-process mesh: host arrays are global already
+
+    from jax.experimental import multihost_utils
+
+    def step(variables, apply_fn, feature, length):
+        def globalize(x, sharding):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
+            )
+
+        # params restored/initialized per-process live on local devices with
+        # host-local shardings; hand pjit host buffers so it replicates them
+        # onto the global mesh itself
+        out = jitted(
+            jax.tree_util.tree_map(np.asarray, variables),
+            apply_fn,
+            globalize(feature, batch),
+            globalize(length, batch),
+        )
+        # replicate the sharded scores to every process so the host-side
+        # AUC (ops/metrics.py) sees the full set
+        return multihost_utils.process_allgather(out, tiled=True)
+
+    return step
 
 
 def eval_bucket(n_clips: int, minimum: int = 32) -> int:

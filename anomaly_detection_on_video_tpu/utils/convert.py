@@ -15,7 +15,7 @@ Layout rules:
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -467,4 +467,118 @@ def export_mgfn_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray
     sd["layer_norm.bias"] = np.asarray(params["head_norm"]["bias"])
     sd["fc.weight"] = np.asarray(params["fc"]["kernel"]).T
     sd["fc.bias"] = np.asarray(params["fc"]["bias"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# RTFM interchange (the second model family, filling the reference's empty
+# src/models/rtfm/ slot with full C13-role converters like MGFN's,
+# reference converter role: scripts/convert_official_to_hf.py:4-44).
+# Contract: the official RTFM release's module names (Aggregate with
+# conv_1..conv_5 Sequentials + non_local.{theta,phi,g,W}, fc1-3 head);
+# the torch oracle in tests/torch_oracles.py::OracleRTFM emits exactly this
+# layout. Checkpoints whose branches carry an eval-mode BatchNorm directly
+# after the conv (Sequential index 1, as the official non_local.W does)
+# fold exactly into the BN-free flax modules.
+# ---------------------------------------------------------------------------
+
+
+def _conv1d_fold_bn(
+    state_dict: Mapping[str, Any], prefix: str
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read ``<prefix>.0`` Conv1d weights, folding a ``<prefix>.1`` BN.
+
+    Inference-mode BN folds exactly into the preceding conv:
+    ``w' = w * gamma/sqrt(var+eps)`` per out-channel,
+    ``b' = (b - mean) * gamma/sqrt(var+eps) + beta``. A BN *after* the
+    ReLU (Sequential index 2) is not foldable and raises.
+    """
+    w = _np(state_dict[f"{prefix}.0.weight"])
+    bias_key = f"{prefix}.0.bias"
+    b = _np(state_dict[bias_key]) if bias_key in state_dict else None
+    if f"{prefix}.2.running_mean" in state_dict:
+        raise ValueError(
+            f"{prefix}: BatchNorm after ReLU cannot be folded into the conv; "
+            "this layout needs an explicit BN in the flax RTFM module"
+        )
+    if f"{prefix}.1.running_mean" in state_dict:
+        mean = _np(state_dict[f"{prefix}.1.running_mean"])
+        var = _np(state_dict[f"{prefix}.1.running_var"])
+        gamma = _np(state_dict[f"{prefix}.1.weight"])
+        beta = _np(state_dict[f"{prefix}.1.bias"])
+        scale = gamma / np.sqrt(var + 1e-5)
+        w = w * scale[:, None, None]
+        b = beta + (b - mean) * scale if b is not None else beta - mean * scale
+    return w, b
+
+
+def convert_rtfm_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Official-release RTFM torch state dict -> flax variables
+    (models/rtfm/model.py tree). See the contract note above."""
+    params: Dict[str, Any] = {}
+
+    def put_conv(path: Tuple[str, ...], prefix: str) -> None:
+        w, b = _conv1d_fold_bn(state_dict, prefix)
+        _set(params, path + ("kernel",), _conv1d(w))
+        if b is not None:
+            _set(params, path + ("bias",), b)
+
+    agg = "Aggregate"
+    for official, ours in (
+        ("conv_1", "dilated1"), ("conv_2", "dilated2"), ("conv_3", "dilated4")
+    ):
+        put_conv(("aggregate", ours), f"{agg}.{official}")
+    put_conv(("aggregate", "proj"), f"{agg}.conv_4")
+    put_conv(("aggregate", "fuse"), f"{agg}.conv_5")
+
+    for name in ("theta", "phi", "g"):
+        w = _np(state_dict[f"{agg}.non_local.{name}.weight"])  # (O, I, 1)
+        _set(params, ("aggregate", "non_local", name, "kernel"), w[:, :, 0].T)
+        _set(
+            params,
+            ("aggregate", "non_local", name, "bias"),
+            _np(state_dict[f"{agg}.non_local.{name}.bias"]),
+        )
+    w, b = _conv1d_fold_bn(state_dict, f"{agg}.non_local.W")
+    _set(params, ("aggregate", "non_local", "out", "kernel"), w[:, :, 0].T)
+    _set(
+        params, ("aggregate", "non_local", "out", "bias"),
+        b if b is not None else np.zeros(w.shape[0], w.dtype),
+    )
+
+    for official, ours in (("fc1", "fc1"), ("fc2", "fc2"), ("fc3", "fc_out")):
+        _set(params, (ours, "kernel"), _np(state_dict[f"{official}.weight"]).T)
+        _set(params, (ours, "bias"), _np(state_dict[f"{official}.bias"]))
+    return {"params": params}
+
+
+def export_rtfm_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """flax RTFM variables -> the official-release torch layout (BN-free:
+    every Sequential holds just its conv at index 0). Exact inverse of
+    convert_rtfm_state_dict on BN-free checkpoints."""
+    params = variables["params"]
+    agg = params["aggregate"]
+    sd: Dict[str, np.ndarray] = {}
+    for official, ours in (
+        ("conv_1", "dilated1"), ("conv_2", "dilated2"), ("conv_3", "dilated4"),
+        ("conv_5", "fuse"),
+    ):
+        sd[f"Aggregate.{official}.0.weight"] = _inv_conv1d(agg[ours]["kernel"])
+        sd[f"Aggregate.{official}.0.bias"] = np.asarray(agg[ours]["bias"])
+    sd["Aggregate.conv_4.0.weight"] = _inv_conv1d(agg["proj"]["kernel"])
+
+    nl = agg["non_local"]
+    for name in ("theta", "phi", "g"):
+        sd[f"Aggregate.non_local.{name}.weight"] = np.asarray(
+            nl[name]["kernel"]
+        ).T[:, :, None]
+        sd[f"Aggregate.non_local.{name}.bias"] = np.asarray(nl[name]["bias"])
+    sd["Aggregate.non_local.W.0.weight"] = np.asarray(
+        nl["out"]["kernel"]
+    ).T[:, :, None]
+    sd["Aggregate.non_local.W.0.bias"] = np.asarray(nl["out"]["bias"])
+
+    for official, ours in (("fc1", "fc1"), ("fc2", "fc2"), ("fc3", "fc_out")):
+        sd[f"{official}.weight"] = np.asarray(params[ours]["kernel"]).T
+        sd[f"{official}.bias"] = np.asarray(params[ours]["bias"])
     return sd

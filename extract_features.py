@@ -173,6 +173,15 @@ def main(argv=None) -> None:
                   file=sys.stderr)
             decode_workers = 1
         if args.stream == "both":
+            if args.decode_workers is not None and args.decode_workers > 1:
+                # the shared-decode two-stream path is serial by design (one
+                # decode pass feeds both extractors in order); don't let the
+                # --decode-workers help text imply concurrent decode here
+                print(
+                    "--stream both decodes serially (shared decode pass); "
+                    "--decode-workers is ignored",
+                    file=sys.stderr,
+                )
             n = extract_videos_two_stream(
                 videos, outdir, extractor, make_extractor("flow")
             )

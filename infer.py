@@ -92,26 +92,25 @@ def build_scorer(args):
         _, model = build_model(model_name, **overrides)
 
     if args.torch_weights:
-        if model_name != "mgfn":
-            raise SystemExit(
-                "--torch-weights converters exist for MGFN only; "
-                f"use an orbax --checkpoint for {model_name}"
-            )
         import torch
 
         from anomaly_detection_on_video_tpu.utils.convert import (
             convert_mgfn_state_dict,
             convert_official_mgfn_state_dict,
+            convert_rtfm_state_dict,
         )
 
         state_dict = torch.load(args.torch_weights, map_location="cpu")
         if isinstance(state_dict, dict) and "state_dict" in state_dict:
             state_dict = state_dict["state_dict"]
-        convert = (
-            convert_official_mgfn_state_dict
-            if args.official
-            else convert_mgfn_state_dict
-        )
+        if model_name == "rtfm":
+            convert = convert_rtfm_state_dict
+        else:
+            convert = (
+                convert_official_mgfn_state_dict
+                if args.official
+                else convert_mgfn_state_dict
+            )
         variables = convert(state_dict)
     elif args.checkpoint:
         from anomaly_detection_on_video_tpu.training import TrainState

@@ -34,7 +34,7 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--kind",
         required=True,
-        choices=["i3d", "i3d-8x8", "mgfn-hf", "mgfn-official"],
+        choices=["i3d", "i3d-8x8", "mgfn-hf", "mgfn-official", "rtfm"],
     )
     parser.add_argument(
         "--reverse",
@@ -50,9 +50,11 @@ def main(argv=None) -> None:
         convert_mgfn_state_dict,
         convert_official_mgfn_state_dict,
         convert_pytorchvideo_resnet_state_dict,
+        convert_rtfm_state_dict,
         export_i3res50_state_dict,
         export_mgfn_state_dict,
         export_pytorchvideo_resnet_state_dict,
+        export_rtfm_state_dict,
     )
     from anomaly_detection_on_video_tpu.utils.serialization import save_variables
 
@@ -66,6 +68,7 @@ def main(argv=None) -> None:
             "i3d-8x8": export_pytorchvideo_resnet_state_dict,
             "mgfn-hf": export_mgfn_state_dict,
             "mgfn-official": None,
+            "rtfm": export_rtfm_state_dict,
         }[args.kind]
         if exporter is None:
             raise SystemExit(
@@ -91,6 +94,7 @@ def main(argv=None) -> None:
         "i3d-8x8": convert_pytorchvideo_resnet_state_dict,
         "mgfn-hf": convert_mgfn_state_dict,
         "mgfn-official": convert_official_mgfn_state_dict,
+        "rtfm": convert_rtfm_state_dict,
     }[args.kind]
     variables = converter(state_dict)
     save_variables(args.dst, variables)

@@ -25,3 +25,18 @@ def test_bench_e2e_schema(tmp_path, monkeypatch):
     assert required <= set(out)
     assert out["e2e_clips_per_sec"] > 0
     assert out["host_decode_clips_per_sec_per_core"] > 0
+
+
+def test_compiled_flops_positive():
+    """bench.py's MFU numerator: XLA cost analysis over the extract jits."""
+    import numpy as np
+
+    from bench import compiled_flops
+    from anomaly_detection_on_video_tpu.data.extraction import FeatureExtractor
+
+    ex = FeatureExtractor(dtype=jnp.float32, batch=10, precise_resize=False)
+    frames = np.zeros((16, 64, 96, 3), np.uint8)
+    flops = compiled_flops(ex, ex.pad_frames(frames))
+    # one clip of 10-crop I3D is billions of FLOPs even at this tiny frame
+    # size; anything small means the analysis read the wrong program
+    assert flops > 1e9

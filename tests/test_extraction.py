@@ -70,6 +70,41 @@ def test_extract_video_chunked_equals_whole(extractor, rng, tmp_path):
     np.testing.assert_allclose(whole, chunked, rtol=1e-5, atol=1e-5)
 
 
+def test_pipelined_extract_video_bit_equals_serial(extractor, rng, tmp_path):
+    """extract_video's 1-deep dispatch pipeline (h2d/compute overlapping the
+    previous readback) must be BIT-equal to the serial per-chunk path, with
+    and without the per-chunk cache, including a resume where a mid-sequence
+    chunk is already cached."""
+    import cv2
+
+    from anomaly_detection_on_video_tpu.data.video import VideoFrameSource
+
+    path = str(tmp_path / "p.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for i in range(3 * 32):  # 3 chunks of 2 clips at chunk_frames=32
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+
+    # serial oracle: materialize every chunk immediately
+    serial = np.vstack([
+        extractor.extract_frames(chunk)
+        for chunk in VideoFrameSource(path, 32)
+    ])
+    pipelined = extractor.extract_video(path, chunk_frames=32)
+    np.testing.assert_array_equal(serial, pipelined)
+
+    # cached resume: pre-seed the MIDDLE chunk only; deferred readbacks must
+    # not scramble output order or the cache writes of chunks 0 and 2
+    cache = str(tmp_path / "cache")
+    mid_path = extractor.chunk_cache_path(cache, path, 1)
+    os.makedirs(os.path.dirname(mid_path), exist_ok=True)
+    np.save(mid_path, serial[2:4])
+    resumed = extractor.extract_video(path, chunk_frames=32, cache_dir=cache)
+    np.testing.assert_array_equal(serial, resumed)
+    for idx in (0, 2):
+        assert os.path.exists(extractor.chunk_cache_path(cache, path, idx))
+
+
 def test_mesh_sharded_extraction_matches_single(rng):
     """Clip-axis sharding over the 8-device CPU mesh must be numerically
     equivalent to single-device extraction."""
@@ -203,16 +238,19 @@ def test_pooled_error_shutdown_and_chunk_cache_resume(
     monkeypatch.setattr(extraction_mod, "is_large_video", lambda p: True)
     outdir = str(tmp_path / "out")
 
-    real = extractor.extract_frames
+    real = extractor.dispatch_frames
     calls = {"n": 0}
 
+    # the consumer's 1-deep pipeline dispatches chunk N before resolving
+    # N-1, so a crash on dispatch 3 (chunk 2) still leaves chunk 0 resolved
+    # and cached; chunk 1 (in flight) is lost — the resume re-extracts it
     def failing(chunk):
         calls["n"] += 1
-        if calls["n"] > 1:
+        if calls["n"] > 2:
             raise RuntimeError("simulated mid-run crash")
         return real(chunk)
 
-    monkeypatch.setattr(extractor, "extract_frames", failing)
+    monkeypatch.setattr(extractor, "dispatch_frames", failing)
     t0 = time.monotonic()
     with pytest.raises(RuntimeError, match="simulated"):
         extract_videos_pooled(
@@ -232,7 +270,7 @@ def test_pooled_error_shutdown_and_chunk_cache_resume(
         resumed["n"] += 1
         return real(chunk)
 
-    monkeypatch.setattr(extractor, "extract_frames", counting)
+    monkeypatch.setattr(extractor, "dispatch_frames", counting)
     assert extract_videos_pooled(
         [path], outdir, extractor, decode_workers=2, chunk_frames=16,
         progress=False,
@@ -294,3 +332,22 @@ def test_two_stream_shared_decode(tmp_path, rng):
     # idempotent: second call decodes nothing
     assert extract_videos_two_stream([video], str(both), rgb_ex, flow_ex,
                                      progress=False) == 0
+
+
+def test_flow_backend_pinned_per_outdir(tmp_path):
+    """A flow feature directory records its Farneback backend; a resume with
+    the other backend fails loudly instead of silently mixing the two
+    numerically different flow definitions (round-2 advisor finding)."""
+    import json
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        record_flow_backend,
+    )
+
+    outdir = str(tmp_path / "flow_feats")
+    record_flow_backend(outdir, "host")
+    meta = json.load(open(os.path.join(outdir, "flow_backend.json")))
+    assert meta == {"flow_backend": "host"}
+    record_flow_backend(outdir, "host")  # same backend resumes fine
+    with pytest.raises(ValueError, match="host.*device|device.*host"):
+        record_flow_backend(outdir, "device")

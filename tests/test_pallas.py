@@ -135,6 +135,22 @@ def test_fused_bottleneck_matches_module(rng, cin, tk, has_proj):
 
 
 @pytest.mark.slow
+def test_fused_stage1_falls_back_on_foreign_stem_geometry(rng):
+    """fused_stage1=True with a non-i3res50 stem (i3d_8x8_r50-style 56x56
+    pooled plane) must fall back to the XLA path instead of crashing inside
+    the 55x55-specialized fused block kernel (round-2 advisor finding)."""
+    from anomaly_detection_on_video_tpu.models.i3d import i3d_8x8_r50
+
+    base = i3d_8x8_r50(dtype=jnp.float32)
+    fused = base.clone(fused_stage1=True)
+    x = jnp.asarray(rng.randn(1, 16, 224, 224, 3).astype(np.float32) * 0.3)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), x)
+    ref = base.apply(variables, x)
+    got = fused.apply(variables, x)  # geometry guard -> identical XLA path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.slow
 def test_fused_i3res50_forward_matches_unfused(rng):
     """The fused-kernel i3res50 must accept the unfused parameter tree and
     produce the same clip features (f32, interpret on CPU)."""

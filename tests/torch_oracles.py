@@ -474,3 +474,78 @@ class TorchI3D8x8R50(nn.Module):
         for block in self.blocks:
             x = block(x)
         return x
+
+
+# ---------------------------------------------------------------------------
+# RTFM oracle (behavioral spec: models/rtfm/model.py, the second model
+# family filling the reference's empty src/models/rtfm/ slot). Module names
+# follow the official RTFM release (tianyu0207/RTFM model.py: Aggregate with
+# conv_1..conv_5 Sequentials + non_local, fc1-3 head) so state_dict() keys
+# define the interchange contract for utils/convert.convert_rtfm_state_dict.
+# ---------------------------------------------------------------------------
+
+
+class OracleRTFMNonLocal(nn.Module):
+    """Embedded-Gaussian non-local block over clips, mean-normalized."""
+
+    def __init__(self, in_channels, inter_channels):
+        super().__init__()
+        self.theta = nn.Conv1d(in_channels, inter_channels, 1)
+        self.phi = nn.Conv1d(in_channels, inter_channels, 1)
+        self.g = nn.Conv1d(in_channels, inter_channels, 1)
+        self.W = nn.Sequential(nn.Conv1d(inter_channels, in_channels, 1))
+
+    def forward(self, x):  # (B, C, T)
+        theta, phi, g = self.theta(x), self.phi(x), self.g(x)
+        attn = torch.einsum("bci,bcj->bij", theta, phi) / x.shape[-1]
+        out = torch.einsum("bij,bcj->bci", attn, g)
+        return self.W(out) + x
+
+
+class OracleRTFMAggregate(nn.Module):
+    """Dilated temporal pyramid + non-local branch + k3 fuse, residual."""
+
+    def __init__(self, channels=2048):
+        super().__init__()
+        branch = channels // 4
+
+        def dilated(d):
+            return nn.Sequential(
+                nn.Conv1d(channels, branch, 3, dilation=d, padding=d)
+            )
+
+        self.conv_1 = dilated(1)
+        self.conv_2 = dilated(2)
+        self.conv_3 = dilated(4)
+        self.conv_4 = nn.Sequential(nn.Conv1d(channels, branch, 1, bias=False))
+        self.conv_5 = nn.Sequential(nn.Conv1d(channels, channels, 3, padding=1))
+        self.non_local = OracleRTFMNonLocal(branch, branch // 2)
+
+    def forward(self, x):  # (B, C, T)
+        y1 = torch.relu(self.conv_1(x))
+        y2 = torch.relu(self.conv_2(x))
+        y3 = torch.relu(self.conv_3(x))
+        z = self.non_local(self.conv_4(x))
+        out = torch.cat([y1, y2, y3, z], dim=1)
+        return torch.relu(self.conv_5(out)) + x
+
+
+class OracleRTFM(nn.Module):
+    """Inference-path RTFM scorer: Aggregate features -> 3-layer MLP ->
+    sigmoid, crop-averaged (models/rtfm/model.py eval semantics)."""
+
+    def __init__(self, channels=2048, hidden=(512, 128)):
+        super().__init__()
+        self.Aggregate = OracleRTFMAggregate(channels)
+        self.fc1 = nn.Linear(channels, hidden[0])
+        self.fc2 = nn.Linear(hidden[0], hidden[1])
+        self.fc3 = nn.Linear(hidden[1], 1)
+
+    def forward(self, video):  # (bs, ncrops, t, channels)
+        bs, ncrops, t, c = video.shape
+        x = video.reshape(bs * ncrops, t, c).permute(0, 2, 1)
+        feats = self.Aggregate(x).permute(0, 2, 1)  # (B, T, C)
+        h = torch.relu(self.fc1(feats))
+        h = torch.relu(self.fc2(h))
+        scores = torch.sigmoid(self.fc3(h))  # (B, T, 1)
+        return scores.view(bs, ncrops, t).mean(1)[..., None]
