@@ -52,9 +52,12 @@ class FeatureExtractor:
         mesh: Optional["jax.sharding.Mesh"] = None,
         stream: str = "rgb",
         flow_backend: Optional[str] = None,
+        quantize: bool = False,
     ):
         if stream not in ("rgb", "flow"):
             raise ValueError(f"stream must be rgb or flow, got {stream!r}")
+        if quantize and stream != "rgb":
+            raise ValueError("quantize=True supports the rgb stream only")
         if flow_backend not in (None, "host", "device"):
             raise ValueError(
                 f"flow_backend must be host or device, got {flow_backend!r}"
@@ -87,7 +90,25 @@ class FeatureExtractor:
         self.frames_per_clip = frames_per_clip
         self.resize = resize
         self.cropsize = cropsize
+        # exact: PIL-bit-exact int32 path (VPU, ~2x slower) for parity runs;
+        # fast: f32 MXU path, ±1 LSB on ~1e-5 of pixels (see ops/resize.py).
+        # Default follows the compute dtype: f32 runs are parity runs, bf16
+        # runs are throughput runs (bf16 convs already break bit-parity)
+        if precise_resize is None:
+            precise_resize = dtype == jnp.float32
+        self.precise_resize = precise_resize
+        self._use_pallas_crop = use_pallas_crop
+        self._model_name = model_name
+        self._dtype = dtype
+        # int8 execution (models/i3d.ConvBN): activation scales calibrate
+        # lazily on the first real chunk, then the pipeline re-jits with the
+        # quantized model (same parameter tree)
+        self.quantize = quantize
+        self._needs_calibration = bool(quantize)
+        self._dispatch_pool = None  # lazy 1-worker pool (dispatch_frames)
+        self._build_pipeline()
 
+    def _build_pipeline(self) -> None:
         from ..ops.gtransforms import standardize, ten_crop
         from ..ops.resize import (
             resize_bilinear_exact,
@@ -95,13 +116,12 @@ class FeatureExtractor:
             short_side_size,
         )
 
-        # exact: PIL-bit-exact int32 path (VPU, ~2x slower) for parity runs;
-        # fast: f32 MXU path, ±1 LSB on ~1e-5 of pixels (see ops/resize.py).
-        # Default follows the compute dtype: f32 runs are parity runs, bf16
-        # runs are throughput runs (bf16 convs already break bit-parity)
-        if precise_resize is None:
-            precise_resize = dtype == jnp.float32
-        resize_fn = resize_bilinear_exact if precise_resize else resize_bilinear_fast
+        mesh = self.mesh
+        use_pallas_crop = self._use_pallas_crop
+        resize_fn = (
+            resize_bilinear_exact if self.precise_resize
+            else resize_bilinear_fast
+        )
 
         # Two separate jits: fusing the whole-chunk resize with the scan over
         # clip groups makes XLA produce a ~10x slower program (measured);
@@ -172,6 +192,36 @@ class FeatureExtractor:
         self._forward = _forward
         self._resize = _resize
 
+    def _calibrate(self, frames: np.ndarray) -> None:
+        """Calibrate int8 activation scales on the first real chunk.
+
+        Representative data matters for static scales; a few clips of the
+        first chunk are preprocessed through the same transform chain and
+        run once recording per-ConvBN input absmax
+        (models/i3d.calibrate_act_scales), then the pipeline re-jits with
+        the quantized model. Later chunks that exceed a calibrated range
+        saturate (standard symmetric int8 behavior).
+        """
+        from ..models.i3d import calibrate_act_scales
+        from ..ops.gtransforms import preprocess_frames
+
+        n_frames = int(min(frames.shape[0], 4 * self.frames_per_clip))
+        clips = preprocess_frames(
+            jnp.asarray(frames[:n_frames]),
+            self.resize, self.cropsize, self.frames_per_clip,
+        )
+        n = clips.shape[0]
+        batch = jnp.reshape(
+            clips,
+            (n * 10, self.frames_per_clip, self.cropsize, self.cropsize, 3),
+        )
+        scales = calibrate_act_scales(self.model, self.variables, batch)
+        self.model = build_i3d_feature_extractor(
+            self._model_name, dtype=self._dtype, act_scales=scales
+        )
+        self._build_pipeline()
+        self._needs_calibration = False
+
     def pad_frames(self, frames: np.ndarray) -> np.ndarray:
         """Host-side loop-pad + group-pad of the raw uint8 frames.
 
@@ -204,20 +254,34 @@ class FeatureExtractor:
     def dispatch_frames(self, frames: np.ndarray):
         """Enqueue extraction without blocking on the result.
 
-        JAX dispatch is asynchronous: the host->device transfer and the
-        forward start immediately, and the caller keeps the host free to
-        decode/pad the NEXT chunk while this one computes — the
-        double-buffering the serial ``extract_frames`` readback forbids.
-        Returns an opaque handle for ``materialize_features``.
+        The jit call runs on a single-worker thread: on real hardware jax
+        dispatch is already asynchronous, but the host->device transfer can
+        block the calling thread (it does under the axon tunnel, where h2d
+        runs at ~38 MB/s) — the worker thread absorbs that block so the
+        caller keeps decoding/padding the NEXT chunk while this one
+        transfers and computes: the double-buffering the serial
+        ``extract_frames`` readback forbids. Dispatch order is preserved
+        (one worker). Returns an opaque handle for ``materialize_features``.
         """
+        if self._needs_calibration:
+            self._calibrate(frames)
         n_clips = (frames.shape[0] - 1) // self.frames_per_clip + 1
         padded = self.pad_frames(frames)
-        return self._extract(self.variables, padded), n_clips
+        if self._dispatch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._dispatch_pool = ThreadPoolExecutor(max_workers=1)
+        future = self._dispatch_pool.submit(
+            self._extract, self.variables, padded
+        )
+        return future, n_clips
 
     @staticmethod
     def materialize_features(dispatched) -> np.ndarray:
         """Block on a ``dispatch_frames`` handle -> (n_clips, 10, 2048) f32."""
         out, n_clips = dispatched
+        if hasattr(out, "result"):
+            out = out.result()
         return np.asarray(out[:n_clips], dtype=np.float32)
 
     def extract_video(

@@ -39,7 +39,20 @@ Dtype = Any
 
 
 class ConvBN(nn.Module):
-    """Conv3D (no bias) + inference-mode BatchNorm, fused by XLA."""
+    """Conv3D (no bias) + inference-mode BatchNorm, fused by XLA.
+
+    ``act_scales`` (a mapping from "/".join(module path) to a float input
+    scale) switches this block to int8 execution: the input quantizes with
+    its calibrated static scale, weights quantize per-output-channel on the
+    traced values (same parameter tree — checkpoints and converters are
+    untouched), the conv accumulates in int32 on the MXU's 2x int8 path,
+    and the result dequantizes into the BN epilogue. Static scales keep the
+    quantize ops purely elementwise so XLA fuses them into the producing
+    conv's epilogue — activations travel HBM as int8, halving the traffic
+    that caps the early stages (docs/ROOFLINE.md). Calibrate with
+    ``calibrate_act_scales``; no reference counterpart (the reference runs
+    fp32 only, src/i3d.py).
+    """
 
     features: int
     kernel: Tuple[int, int, int]
@@ -47,18 +60,33 @@ class ConvBN(nn.Module):
     padding: Tuple[int, int, int] = (0, 0, 0)
     use_bn: bool = True
     dtype: Dtype = jnp.float32
+    act_scales: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            kernel_size=self.kernel,
-            strides=self.strides,
-            padding=[(p, p) for p in self.padding],
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        # calibration pass: record the input's absmax (no-op unless the
+        # caller made the "calibration" collection mutable)
+        self.sow(
+            "calibration", "in_absmax",
+            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            reduce_fn=lambda a, b: jnp.maximum(a, b), init_fn=lambda: 0.0,
+        )
+        scale = (
+            self.act_scales.get("/".join(self.path))
+            if self.act_scales else None
+        )
+        if scale is not None:
+            x = self._int8_conv(x, float(scale))
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=self.kernel,
+                strides=self.strides,
+                padding=[(p, p) for p in self.padding],
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=True,
@@ -67,6 +95,27 @@ class ConvBN(nn.Module):
                 name="bn",
             )(x)
         return x
+
+    def _int8_conv(self, x: jnp.ndarray, act_scale: float) -> jnp.ndarray:
+        kernel = _ConvParam(
+            (*self.kernel, x.shape[-1], self.features), name="conv"
+        )()
+        w = kernel.astype(jnp.float32)
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=(0, 1, 2, 3)), 1e-12
+        ) / 127.0
+        w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / act_scale)), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q,
+            window_strides=self.strides,
+            padding=[(p, p) for p in self.padding],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (w_scale * act_scale)).astype(self.dtype)
 
 
 class S2DConv(nn.Module):
@@ -317,6 +366,7 @@ class Bottleneck(nn.Module):
     has_proj: bool = False
     use_nl: bool = False
     dtype: Dtype = jnp.float32
+    act_scales: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -327,6 +377,7 @@ class Bottleneck(nn.Module):
             strides=(self.temp_stride, 1, 1),
             padding=(tk // 2, 0, 0),
             dtype=self.dtype,
+            act_scales=self.act_scales,
             name="branch_a",
         )(x)
         out = nn.relu(out)
@@ -336,11 +387,13 @@ class Bottleneck(nn.Module):
             strides=(1, self.spatial_stride, self.spatial_stride),
             padding=(0, 1, 1),
             dtype=self.dtype,
+            act_scales=self.act_scales,
             name="branch_b",
         )(out)
         out = nn.relu(out)
         out = ConvBN(
-            self.planes * 4, kernel=(1, 1, 1), dtype=self.dtype, name="branch_c"
+            self.planes * 4, kernel=(1, 1, 1), dtype=self.dtype,
+            act_scales=self.act_scales, name="branch_c",
         )(out)
 
         if self.has_proj:
@@ -349,6 +402,7 @@ class Bottleneck(nn.Module):
                 kernel=(1, 1, 1),
                 strides=(self.temp_stride, self.spatial_stride, self.spatial_stride),
                 dtype=self.dtype,
+                act_scales=self.act_scales,
                 name="proj",
             )(x)
         else:
@@ -401,6 +455,9 @@ class I3DResNet(nn.Module):
     fused_stem: bool = False
     fused_stage1: bool = False
     dtype: Dtype = jnp.float32
+    # int8 execution: mapping "/".join(ConvBN path) -> calibrated input
+    # scale (see ConvBN / calibrate_act_scales). None = full-precision.
+    act_scales: Optional[Any] = None
 
     def _i3res50_stem_geometry(self) -> bool:
         return (
@@ -418,11 +475,13 @@ class I3DResNet(nn.Module):
         interpret = jax.default_backend() != "tpu"
         use_fused_stem = (
             self.fused_stem
+            and self.act_scales is None
             and self._i3res50_stem_geometry()
             and x.shape[1:] == (16, 224, 224, 3)
         )
         use_fused_stage1 = (
             self.fused_stage1
+            and self.act_scales is None
             # the fused block kernel is specialized to the 55x55 pooled
             # plane the i3res50 stem produces from 224x224 clips — any other
             # stem geometry (e.g. i3d_8x8_r50's 56x56 plane) falls back
@@ -454,6 +513,7 @@ class I3DResNet(nn.Module):
             x = stem_pool_w(y, channels_last=not use_fused_stage1)
         else:
             stem_cls = S2DConvBN if self.s2d_stem else ConvBN
+            stem_kwargs = {} if self.s2d_stem else {"act_scales": self.act_scales}
             x = stem_cls(
                 64,
                 kernel=self.stem_kernel,
@@ -461,6 +521,7 @@ class I3DResNet(nn.Module):
                 padding=tuple(k // 2 for k in self.stem_kernel),
                 dtype=self.dtype,
                 name="stem",
+                **stem_kwargs,
             )(x)
             x = nn.relu(x)
             x = nn.max_pool(
@@ -516,6 +577,7 @@ class I3DResNet(nn.Module):
                     use_nl=stage_idx in self.nonlocal_stages
                     and block_idx % 2 == 1,
                     dtype=self.dtype,
+                    act_scales=self.act_scales,
                     name=f"stage{stage_idx + 1}_block{block_idx}",
                 )(x)
             in_planes = planes * 4
@@ -538,12 +600,14 @@ def i3res50(
     s2d_stem: bool = False,
     fused_stem: bool = False,
     fused_stage1: bool = False,
+    act_scales: Optional[Any] = None,
 ) -> I3DResNet:
     """The "tushar-n-baseline" I3Res50 (reference: src/i3d.py:198-318,338)."""
     return I3DResNet(
         s2d_stem=s2d_stem,
         fused_stem=fused_stem,
         fused_stage1=fused_stage1,
+        act_scales=act_scales,
         stem_kernel=(5, 7, 7),
         stem_stride=(2, 2, 2),
         stem_pool_kernel=(2, 3, 3),
@@ -562,7 +626,11 @@ def i3res50(
     )
 
 
-def i3d_8x8_r50(dtype: Dtype = jnp.float32, s2d_stem: bool = False) -> I3DResNet:
+def i3d_8x8_r50(
+    dtype: Dtype = jnp.float32,
+    s2d_stem: bool = False,
+    act_scales: Optional[Any] = None,
+) -> I3DResNet:
     """The pytorchvideo-style i3d_8x8_r50 (reference: src/i3d.py:339-350).
 
     Reconstructed from pytorchvideo 0.1.3 ``create_resnet`` defaults plus the
@@ -574,6 +642,7 @@ def i3d_8x8_r50(dtype: Dtype = jnp.float32, s2d_stem: bool = False) -> I3DResNet
     """
     return I3DResNet(
         s2d_stem=s2d_stem,
+        act_scales=act_scales,
         stem_kernel=(5, 7, 7),
         stem_stride=(1, 2, 2),
         stem_pool_kernel=(1, 3, 3),
@@ -615,3 +684,26 @@ def build_i3d_feature_extractor(
             f"unknown I3D variant {model_name!r}; options: {sorted(MODEL_ZOO)}"
         )
     return MODEL_ZOO[model_name](dtype=dtype, **model_kwargs)
+
+
+def calibrate_act_scales(model, variables, batch) -> "dict[str, float]":
+    """Calibrate per-ConvBN int8 input scales on a representative batch.
+
+    One forward with the "calibration" collection mutable records every
+    ConvBN input's absmax (ConvBN.__call__ sows it); scales are
+    absmax / 127 (symmetric). Feed the result back as
+    ``I3DResNet(act_scales=...)`` / ``build_i3d_feature_extractor(...,
+    act_scales=...)`` — the parameter tree is unchanged, so the calibrated
+    model accepts the same ``variables``.
+    """
+    from flax.traverse_util import flatten_dict
+
+    _, state = model.apply(
+        variables, batch, mutable=["calibration"]
+    )
+    scales = {}
+    for path, value in flatten_dict(state["calibration"]).items():
+        # path = (<ConvBN path...>, "in_absmax")
+        key = "/".join(path[:-1])
+        scales[key] = max(float(value), 1e-6) / 127.0
+    return scales

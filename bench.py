@@ -44,18 +44,24 @@ DEVICE_PEAK_TFLOPS = 197.0
 
 
 def compiled_flops(extractor, frames) -> float:
-    """XLA cost-analysis FLOPs of one extract dispatch (resize + forward)."""
-    total = 0.0
-    resized = extractor._resize(frames)
-    for jitted, args in (
-        (extractor._resize, (frames,)),
-        (extractor._forward, (extractor.variables, resized)),
-    ):
+    """XLA cost-analysis FLOPs of one extract dispatch (resize + forward).
+
+    The forward scans clip groups with lax.map and XLA's cost analysis
+    counts a loop body ONCE regardless of trip count — so the forward is
+    lowered on a single-group input and scaled by the group count.
+    """
+
+    def flops_of(jitted, *args) -> float:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        total += float(cost.get("flops", 0.0))
-    return total
+        return float(cost.get("flops", 0.0))
+
+    resized = extractor._resize(frames)
+    n_groups = resized.shape[0]
+    return flops_of(extractor._resize, frames) + n_groups * flops_of(
+        extractor._forward, extractor.variables, resized[:1]
+    )
 
 
 def bench_e2e(extractor, n_videos: int = 4, frames_per_video: int = 640):
@@ -217,6 +223,35 @@ def main() -> None:
         record["device_kind"] = jax.devices()[0].device_kind
     except Exception as exc:
         print(f"warning: cost analysis unavailable: {exc}", file=sys.stderr)
+
+    if "--no-int8" not in sys.argv:
+        # opt-in production mode (extract_features.py --dtype int8):
+        # calibrated per-layer int8 convs, ~1e-5 feature cosine error vs
+        # bf16 (docs/ROOFLINE.md round-3 table)
+        try:
+            quant = FeatureExtractor(
+                dtype=jnp.bfloat16, variables=extractor.variables,
+                quantize=True,
+            )
+            ref = feats
+            out = quant.extract_frames(frames)  # calibrates + compiles
+            cos = float(
+                np.sum(ref * out)
+                / (np.linalg.norm(ref) * np.linalg.norm(out))
+            )
+            for _ in range(3):
+                q = quant._extract(quant.variables, x)
+            float(jnp.sum(q[0]))
+            t0 = time.time()
+            for _ in range(reps):
+                q = quant._extract(quant.variables, x)
+            float(jnp.sum(q[0]))
+            record["int8_clips_per_sec"] = round(
+                reps * n_clips / (time.time() - t0), 2
+            )
+            record["int8_feature_cosine_vs_bf16"] = round(cos, 6)
+        except Exception as exc:
+            print(f"warning: int8 bench failed: {exc}", file=sys.stderr)
     if "--no-e2e" not in sys.argv:
         try:
             e2e = bench_e2e(extractor)

@@ -78,8 +78,12 @@ def main(argv=None) -> None:
     parser.add_argument("--model", default="tushar-n-baseline")
     parser.add_argument("--weights", default=None, help="torch .pt state dict")
     parser.add_argument("--dtype", default="bfloat16",
-                        choices=["bfloat16", "float32"],
-                        help="compute dtype (float32 for bit-parity runs)")
+                        choices=["bfloat16", "float32", "int8"],
+                        help="compute dtype: float32 for bit-parity runs; "
+                             "int8 quantizes the I3D convs (per-channel "
+                             "weights + scales calibrated on the first "
+                             "chunk, ~0.99999 feature cosine vs bf16) for "
+                             "the MXU's 2x int8 path")
     parser.add_argument("--batch", type=int, default=240,
                         help="(clip, crop) forwards per device step "
                              "(240 saturates a v5e)")
@@ -126,13 +130,14 @@ def main(argv=None) -> None:
         return FeatureExtractor(
             model_name=args.model,
             variables=load_weights(args.weights, args.model),
-            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+            dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
             batch=args.batch,
             # float32 runs are parity runs: use the PIL-bit-exact resize
             precise_resize=(args.dtype == "float32"),
             mesh=mesh,
             stream=stream,
             flow_backend=args.flow_backend if stream == "flow" else None,
+            quantize=(args.dtype == "int8" and stream == "rgb"),
         )
 
     extractor = make_extractor("rgb" if args.stream == "both" else args.stream)

@@ -334,6 +334,37 @@ def test_two_stream_shared_decode(tmp_path, rng):
                                      progress=False) == 0
 
 
+def test_quantized_extractor_matches_full_precision(rng):
+    """int8 extraction (quantize=True): first-chunk calibration, re-jit,
+    and features that stay close to the f32 pipeline (the int8 MXU path
+    runs 1.8x bf16 peak on v5e, docs/ROOFLINE.md round-3 table)."""
+    frames = rng.randint(0, 256, (3 * 16, 48, 64, 3), np.uint8)
+    # small geometry: CPU integer convs are slow; the quantization math is
+    # size-independent and the TPU-scale numbers live in docs/ROOFLINE.md
+    kw = dict(dtype=jnp.float32, batch=10, resize=64, cropsize=56)
+    base = FeatureExtractor(**kw)
+    quant = FeatureExtractor(**kw, variables=base.variables, quantize=True)
+    assert quant._needs_calibration
+    ref = base.extract_frames(frames)
+    out = quant.extract_frames(frames)
+    assert not quant._needs_calibration
+    assert out.shape == ref.shape
+    cos = float(
+        np.sum(ref * out) / (np.linalg.norm(ref) * np.linalg.norm(out))
+    )
+    assert cos > 0.999, cos
+    assert not np.array_equal(ref, out)  # actually quantized, not bypassed
+    # second chunk reuses the calibrated pipeline (no re-jit churn)
+    model_before = quant.model
+    quant.extract_frames(frames)
+    assert quant.model is model_before
+
+
+def test_quantize_rejects_flow_stream():
+    with pytest.raises(ValueError, match="rgb"):
+        FeatureExtractor(dtype=jnp.float32, stream="flow", quantize=True)
+
+
 def test_flow_backend_pinned_per_outdir(tmp_path):
     """A flow feature directory records its Farneback backend; a resume with
     the other backend fails loudly instead of silently mixing the two
