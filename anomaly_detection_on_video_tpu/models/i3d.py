@@ -65,12 +65,16 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # calibration pass: record the input's absmax (no-op unless the
-        # caller made the "calibration" collection mutable)
-        self.sow(
-            "calibration", "in_absmax",
-            jnp.max(jnp.abs(x.astype(jnp.float32))),
-            reduce_fn=lambda a, b: jnp.maximum(a, b), init_fn=lambda: 0.0,
-        )
+        # caller made the "calibration" collection mutable, as
+        # calibrate_act_scales does). Skipped during init — init makes every
+        # collection mutable, which would pollute the variables tree (and
+        # zero-size init batches would crash the max reduction).
+        if not self.is_initializing() and 0 not in x.shape:
+            self.sow(
+                "calibration", "in_absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                reduce_fn=lambda a, b: jnp.maximum(a, b), init_fn=lambda: 0.0,
+            )
         scale = (
             self.act_scales.get("/".join(self.path))
             if self.act_scales else None

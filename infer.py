@@ -184,7 +184,10 @@ def main(argv=None) -> None:
     parser.add_argument("--i3d-weights", default=None,
                         help="torch I3D state dict (.pt); random init if unset")
     parser.add_argument("--dtype", default="bfloat16",
-                        choices=["bfloat16", "float32"])
+                        choices=["bfloat16", "float32", "int8"],
+                        help="I3D compute dtype; int8 quantizes the conv "
+                             "path (calibrated on the first video's chunk, "
+                             "~1e-5 feature cosine error)")
     parser.add_argument("--batch", type=int, default=240)
     parser.add_argument("--features-dir", default=None,
                         help="cache/reuse <stem>_i3d.npy features here")
@@ -212,7 +215,8 @@ def main(argv=None) -> None:
     extractor = FeatureExtractor(
         model_name=args.i3d_model,
         variables=load_weights(args.i3d_weights, args.i3d_model),
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
+        quantize=(args.dtype == "int8"),
         batch=args.batch,
         frames_per_clip=args.frames_per_clip,
     )

@@ -148,6 +148,28 @@ def smoke_throughput():
     return f"{rate:.0f} clips/s{note}"
 
 
+def smoke_int8():
+    """int8 extraction (opt-in): calibration + quantized compile on the
+    REAL compiler (the CPU test uses tiny shapes), feature agreement."""
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import FeatureExtractor
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (2 * 16, 240, 320, 3), np.uint8)
+    base = FeatureExtractor(dtype=jnp.bfloat16, batch=20)
+    ref = base.extract_frames(frames)
+    quant = FeatureExtractor(
+        dtype=jnp.bfloat16, batch=20, variables=base.variables, quantize=True
+    )
+    out = quant.extract_frames(frames)
+    cos = float(
+        np.sum(ref * out) / (np.linalg.norm(ref) * np.linalg.norm(out))
+    )
+    assert cos > 0.999, f"int8 feature cosine {cos}"
+    return f"cosine {cos:.6f} vs bf16"
+
+
 def main() -> None:
     import jax
 
@@ -156,6 +178,7 @@ def main() -> None:
     check("fused Pallas kernels (opt-in)", smoke_fused_kernels)
     check("device optical flow", smoke_device_flow)
     check("MGFN train step", smoke_train_step)
+    check("int8 extraction (opt-in)", smoke_int8)
     check("extraction throughput", smoke_throughput)
     if FAILURES:
         raise SystemExit(f"FAILED: {FAILURES}")
