@@ -56,8 +56,6 @@ class FeatureExtractor:
     ):
         if stream not in ("rgb", "flow"):
             raise ValueError(f"stream must be rgb or flow, got {stream!r}")
-        if quantize and stream != "rgb":
-            raise ValueError("quantize=True supports the rgb stream only")
         if flow_backend not in (None, "host", "device"):
             raise ValueError(
                 f"flow_backend must be host or device, got {flow_backend!r}"
@@ -105,6 +103,7 @@ class FeatureExtractor:
         # quantized model (same parameter tree)
         self.quantize = quantize
         self._needs_calibration = bool(quantize)
+        self._calibration_path = None  # set by pin_calibration(outdir)
         self._dispatch_pool = None  # lazy 1-worker pool (dispatch_frames)
         self._build_pipeline()
 
@@ -196,31 +195,80 @@ class FeatureExtractor:
         """Calibrate int8 activation scales on the first real chunk.
 
         Representative data matters for static scales; a few clips of the
-        first chunk are preprocessed through the same transform chain and
-        run once recording per-ConvBN input absmax
+        first chunk run through the same transform chain as the jit
+        pipeline (resize -> ten-crop -> standardize for RGB, dequantize
+        for flow) recording per-ConvBN input absmax
         (models/i3d.calibrate_act_scales), then the pipeline re-jits with
         the quantized model. Later chunks that exceed a calibrated range
         saturate (standard symmetric int8 behavior).
         """
         from ..models.i3d import calibrate_act_scales
-        from ..ops.gtransforms import preprocess_frames
+        from ..ops.gtransforms import loop_pad_indices, standardize, ten_crop
+        from ..ops.resize import resize_bilinear_exact, short_side_size
 
         n_frames = int(min(frames.shape[0], 4 * self.frames_per_clip))
-        clips = preprocess_frames(
-            jnp.asarray(frames[:n_frames]),
-            self.resize, self.cropsize, self.frames_per_clip,
+        sample = jnp.asarray(frames[:n_frames])
+        out_h, out_w = short_side_size(
+            sample.shape[1], sample.shape[2], self.resize
         )
-        n = clips.shape[0]
+        resized = resize_bilinear_exact(sample, out_h, out_w)
+        crops = ten_crop(resized, self.cropsize)  # (10, n, c, c, C) uint8
+        clip_idx = jnp.asarray(
+            loop_pad_indices(n_frames, self.frames_per_clip)
+        )
+        clips = crops[:, clip_idx]  # (10, n_clips, fpc, c, c, C)
+        if self.stream == "flow":
+            # uint8 flow dequantizes back to [-1, 1] (data/flow.py contract)
+            clips = clips.astype(jnp.float32) / 127.5 - 1.0
+        else:
+            clips = standardize(clips)
+        n = clips.shape[1]
         batch = jnp.reshape(
             clips,
-            (n * 10, self.frames_per_clip, self.cropsize, self.cropsize, 3),
+            (n * 10, self.frames_per_clip, self.cropsize, self.cropsize,
+             self.channels),
         )
         scales = calibrate_act_scales(self.model, self.variables, batch)
+        self._apply_scales(scales)
+        if self._calibration_path is not None:
+            import json
+
+            tmp = self._calibration_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(scales, f)
+            os.replace(tmp, self._calibration_path)
+
+    def _apply_scales(self, scales: "dict[str, float]") -> None:
         self.model = build_i3d_feature_extractor(
             self._model_name, dtype=self._dtype, act_scales=scales
         )
         self._build_pipeline()
         self._needs_calibration = False
+
+    def pin_calibration(self, outdir: str) -> None:
+        """Pin int8 activation scales to a feature directory (sidecar JSON).
+
+        Scales calibrate on the first chunk of the first video — so a
+        resumed run would otherwise re-calibrate on whatever video happens
+        to be first in ITS list, quantizing the remainder with slightly
+        different scales than the features already on disk (the mixed-
+        definition hazard ``record_flow_backend`` closes for flow). The
+        first quantized run into ``outdir`` records its scales in
+        ``act_scales_<stream>.json``; later runs load them instead of
+        re-calibrating, so one directory holds exactly one quantization.
+        No-op for full-precision extractors.
+        """
+        if not self.quantize:
+            return
+        os.makedirs(outdir, exist_ok=True)
+        self._calibration_path = os.path.join(
+            outdir, f"act_scales_{self.stream}.json"
+        )
+        if os.path.exists(self._calibration_path):
+            import json
+
+            with open(self._calibration_path) as f:
+                self._apply_scales(json.load(f))
 
     def pad_frames(self, frames: np.ndarray) -> np.ndarray:
         """Host-side loop-pad + group-pad of the raw uint8 frames.
@@ -447,6 +495,7 @@ def extract_videos(
     os.makedirs(outdir, exist_ok=True)
     if extractor.stream == "flow":
         record_flow_backend(outdir, extractor.flow_backend)
+    extractor.pin_calibration(outdir)
     iterator: Iterable[str] = video_paths
     if progress:
         try:
@@ -497,6 +546,8 @@ def extract_videos_two_stream(
         raise ValueError("extractors must be (rgb, flow) in that order")
     os.makedirs(outdir, exist_ok=True)
     record_flow_backend(outdir, flow_extractor.flow_backend)
+    rgb_extractor.pin_calibration(outdir)
+    flow_extractor.pin_calibration(outdir)
     transform = flow_extractor._host_transform()
 
     iterator: Iterable[str] = video_paths
@@ -616,6 +667,7 @@ def extract_videos_pooled(
     os.makedirs(outdir, exist_ok=True)
     if extractor.stream == "flow":
         record_flow_backend(outdir, extractor.flow_backend)
+    extractor.pin_calibration(outdir)
     transform = extractor._host_transform()
 
     todo = []

@@ -1,4 +1,4 @@
-from .mesh import initialize_multihost, local_mesh, make_mesh
+from .mesh import barrier, initialize_multihost, local_mesh, make_mesh
 from .sharding import (
     batch_sharding,
     replicate,
@@ -7,6 +7,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "barrier",
     "initialize_multihost",
     "local_mesh",
     "make_mesh",

@@ -73,3 +73,22 @@ def initialize_multihost(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def barrier(name: str, timeout_s: int = 3600) -> None:
+    """Cross-process rendezvous through the coordination service.
+
+    For coarse job-level sync (e.g. "every host finished its extraction
+    shard") — NOT a device collective: ``multihost_utils.
+    sync_global_devices`` compiles an all-reduce whose transport (Gloo on
+    CPU) enforces its own ~30 s connect timeout, so processes whose work
+    is minutes skewed (a per-video sweep on uneven shards) kill the run.
+    The coordinator barrier has an explicit timeout and needs no device
+    traffic. No-op single-process.
+    """
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))

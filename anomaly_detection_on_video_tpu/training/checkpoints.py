@@ -31,12 +31,30 @@ class TopKCheckpointer:
     def __init__(self, directory: str, top_k: int = 10, every_n_steps: int = 0):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        options_kwargs = {}
+        if jax.process_count() > 1:
+            # in a multi-host run only process 0 saves (run.py); scope
+            # orbax's internal barriers to THIS process or the bare
+            # CheckpointManager constructor blocks on a global device sync
+            # the other (checkpointer-less) processes never join
+            from orbax.checkpoint import options as ocp_options
+
+            pid = jax.process_index()
+            options_kwargs["multiprocessing_options"] = (
+                ocp_options.MultiprocessingOptions(
+                    primary_host=pid, active_processes={pid}
+                )
+            )
+            # orbax refuses create=True with active_processes; the
+            # os.makedirs above already created the root
+            options_kwargs["create"] = False
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=top_k + 1,
                 best_fn=(lambda m: m.get("metric", -1.0)),
                 best_mode="max",
+                **options_kwargs,
             ),
         )
         self.every_n_steps = every_n_steps
@@ -48,12 +66,30 @@ class TopKCheckpointer:
         """Save and return the on-disk checkpoint path (None if skipped)."""
         if self.every_n_steps and step - self._last_saved < self.every_n_steps:
             return None
-        payload = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
+        def host_leaf(x):
+            # a multi-host DP run gates saving to process 0 (run.py), whose
+            # orbax has no peers to coordinate with — fully-replicated
+            # global arrays are read back to host so the save is local.
+            # (TP-sharded state across processes would need the all-process
+            # orbax path; make_train_step only replicates across processes.)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                if not x.is_fully_replicated:
+                    raise NotImplementedError(
+                        "process-local save of a cross-process sharded "
+                        "array; gather it or save from all processes"
+                    )
+                return np.asarray(x)
+            return x
+
+        payload = jax.tree_util.tree_map(
+            host_leaf,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+        )
         self.manager.save(
             step,
             args=ocp.args.StandardSave(payload),

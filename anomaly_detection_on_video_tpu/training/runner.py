@@ -74,6 +74,15 @@ def make_train_step(
     given, weights and optimizer moments additionally shard tensor-parallel
     over it (parallel/sharding.tensor_parallel_specs): GSPMD inserts the
     activation collectives, so DP x TP runs from the same step function.
+
+    When the mesh spans multiple processes (a DCN multi-host run through
+    ``jax.distributed``), the returned callable globalizes the host batch
+    onto the mesh — every process feeds the same full batch (the data
+    loader is deterministic given (seed, epoch), so identical inputs need
+    no data exchange) and donates its addressable shards, exactly as
+    ``make_eval_step`` does for scoring. The updated state stays a global
+    array between steps, so the conversion cost is first-call-only; the
+    replicated loss is readable on every host.
     """
 
     def step(state: TrainState, feature, normal_labels, abnormal_labels, rng):
@@ -116,7 +125,15 @@ def make_train_step(
         from ..parallel.sharding import tensor_parallel_specs
 
         state_sharding = tensor_parallel_specs(state, mesh)
-    return jax.jit(
+    multiprocess = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
+    if multiprocess and state_sharding is None:
+        # host-local state leaves (first step after init/restore) are only
+        # accepted by a multi-process pjit when their sharding is explicit
+        # and fully replicated — which is exactly the DP state layout
+        state_sharding = replicated
+    jitted = jax.jit(
         step,
         in_shardings=(
             state_sharding, batch_sharding, batch_sharding, batch_sharding,
@@ -124,6 +141,32 @@ def make_train_step(
         ),
         donate_argnums=(0,),
     )
+    if not multiprocess:
+        return jitted
+
+    def multihost_step(state, feature, normal_labels, abnormal_labels, rng):
+        def host_leaf(x):
+            # global arrays (every step after the first) pass through and
+            # get donated; local/host leaves replicate onto the mesh
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x
+            return np.asarray(x)
+
+        def globalize(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, batch_sharding, lambda idx: x[idx]
+            )
+
+        return jitted(
+            jax.tree_util.tree_map(host_leaf, state),
+            globalize(feature),
+            globalize(normal_labels),
+            globalize(abnormal_labels),
+            np.asarray(rng),
+        )
+
+    return multihost_step
 
 
 def make_eval_step(mesh: Optional[jax.sharding.Mesh] = None):
@@ -273,6 +316,21 @@ def evaluate(
     )
 
 
+def _put_sharded(mesh, x, sharding):
+    """Place a host/local array onto a (possibly multi-process) mesh.
+
+    ``jax.device_put`` only accepts shardings whose devices are all
+    addressable; on a mesh that spans processes each host instead donates
+    its addressable shards of the (identical) host value.
+    """
+    if all(d.process_index == jax.process_index() for d in mesh.devices.flat):
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 @dataclasses.dataclass
 class EvalResult:
     rec_auc: float
@@ -364,7 +422,7 @@ class VideoAnomalyDetectionRunner:
 
             specs = tensor_parallel_specs(self.state, self.mesh)
             self.state = jax.tree_util.tree_map(
-                jax.device_put, self.state, specs
+                functools.partial(_put_sharded, self.mesh), self.state, specs
             )
             self._train_step = make_train_step(self.mesh, state=self.state)
         return self.state
@@ -375,7 +433,9 @@ class VideoAnomalyDetectionRunner:
             from ..parallel.sharding import tensor_parallel_specs
 
             specs = tensor_parallel_specs(state, self.mesh)
-            self.state = jax.tree_util.tree_map(jax.device_put, state, specs)
+            self.state = jax.tree_util.tree_map(
+                functools.partial(_put_sharded, self.mesh), state, specs
+            )
             self._train_step = make_train_step(self.mesh, state=self.state)
 
     def _log(self, metrics: Dict[str, float], step: int) -> None:

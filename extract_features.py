@@ -83,7 +83,8 @@ def main(argv=None) -> None:
                              "int8 quantizes the I3D convs (per-channel "
                              "weights + scales calibrated on the first "
                              "chunk, ~0.99999 feature cosine vs bf16) for "
-                             "the MXU's 2x int8 path")
+                             "the MXU's 2x int8 path; applies to both "
+                             "streams and every --model variant")
     parser.add_argument("--batch", type=int, default=240,
                         help="(clip, crop) forwards per device step "
                              "(240 saturates a v5e)")
@@ -107,7 +108,22 @@ def main(argv=None) -> None:
                              "keep the chip fed (one decode stream is ~8x "
                              "slower than the device); default auto-tunes "
                              "to one per host core (capped at 8), 1 = serial")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host sweep: initialize jax.distributed "
+                             "(autodetected on TPU pods, or via "
+                             "--coordinator), shard the video list across "
+                             "processes into the shared outdir (idempotent "
+                             "writes make overlap safe); process 0 builds "
+                             "segments after a cross-host barrier")
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port for jax.distributed when not "
+                             "autodetectable (requires --num-processes and "
+                             "--process-id)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
+    if args.multihost and args.hf_dataset:
+        parser.error("--multihost supports --videos local mode only")
 
     import jax
     import jax.numpy as jnp
@@ -120,11 +136,25 @@ def main(argv=None) -> None:
         segment_video_features,
     )
 
-    mesh = None
-    if args.data_parallel and len(jax.devices()) > 1:
-        from anomaly_detection_on_video_tpu.parallel import local_mesh
+    if args.multihost:
+        from anomaly_detection_on_video_tpu.parallel import initialize_multihost
 
-        mesh = local_mesh()
+        initialize_multihost(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            autodetect=args.coordinator is None,
+        )
+
+    mesh = None
+    if args.data_parallel and len(jax.local_devices()) > 1:
+        from anomaly_detection_on_video_tpu.parallel import make_mesh
+
+        # process-LOCAL mesh: under --multihost each process sweeps its own
+        # video shard with its own chips; a global mesh would need lockstep
+        # jit calls across hosts, which per-video sweeps don't have
+        devices = jax.local_devices()
+        mesh = make_mesh((len(devices),), ("data",), devices)
 
     def make_extractor(stream):
         return FeatureExtractor(
@@ -137,7 +167,7 @@ def main(argv=None) -> None:
             mesh=mesh,
             stream=stream,
             flow_backend=args.flow_backend if stream == "flow" else None,
-            quantize=(args.dtype == "int8" and stream == "rgb"),
+            quantize=(args.dtype == "int8"),
         )
 
     extractor = make_extractor("rgb" if args.stream == "both" else args.stream)
@@ -168,6 +198,35 @@ def main(argv=None) -> None:
             parser.error("one of --videos / --hf-dataset is required")
         videos = find_videos(args.videos)
         outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
+        pi, pc = (
+            (jax.process_index(), jax.process_count())
+            if args.multihost else (0, 1)
+        )
+        flow_extractor = (
+            make_extractor("flow") if args.stream == "both" else None
+        )
+        if pc > 1:
+            from anomaly_detection_on_video_tpu.parallel import barrier
+
+            if args.dtype == "int8":
+                # one process must own calibration, or each host would
+                # quantize with scales from ITS first chunk
+                # (pin_calibration closes that race only within one host):
+                # process 0 extracts the global first video, pinning
+                # act_scales_<stream>.json, before anyone else starts
+                if pi == 0:
+                    if args.stream == "both":
+                        extract_videos_two_stream(
+                            videos[:1], outdir, extractor, flow_extractor,
+                            progress=False,
+                        )
+                    else:
+                        extract_videos(
+                            videos[:1], outdir, extractor, progress=False
+                        )
+                barrier("int8 scales pinned")
+                videos = videos[1:]
+            videos = videos[pi::pc]
         decode_workers = args.decode_workers
         if decode_workers is None:
             decode_workers = min(8, os.cpu_count() or 1)
@@ -188,7 +247,7 @@ def main(argv=None) -> None:
                     file=sys.stderr,
                 )
             n = extract_videos_two_stream(
-                videos, outdir, extractor, make_extractor("flow")
+                videos, outdir, extractor, flow_extractor
             )
         elif decode_workers > 1:
             n = extract_videos_pooled(
@@ -196,7 +255,17 @@ def main(argv=None) -> None:
             )
         else:
             n = extract_videos(videos, outdir, extractor, timer=timer)
-        print(f"extracted {n} new videos ({len(videos)} total) -> {outdir}")
+        who = f"[process {pi}/{pc}] " if pc > 1 else ""
+        print(f"{who}extracted {n} new videos ({len(videos)} total) -> {outdir}")
+        if pc > 1:
+            from anomaly_detection_on_video_tpu.parallel import barrier
+
+            # all features must exist before process 0 pools segments; the
+            # coordinator barrier (not a device collective) tolerates the
+            # minutes of skew uneven video shards produce
+            barrier("extraction complete")
+            if pi != 0:
+                return
         train_dir = outdir if args.split in (None, "train") else None
 
     if timer is not None:

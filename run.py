@@ -57,6 +57,25 @@ def main(argv=None) -> None:
     config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
     cfg = compose(config_dir, "default", argv)
 
+    # DCN multi-host training: rendezvous BEFORE the backend initializes so
+    # jax.devices() is global and build_mesh() spans every host. Writers
+    # (jsonl/W&B/figures/checkpoints) then gate to process 0; every process
+    # feeds the same deterministic batches and the train step globalizes
+    # them onto the mesh (training/runner.make_train_step).
+    trainer_cfg = cfg.get("trainer", {})
+    if trainer_cfg.get("multihost"):
+        from anomaly_detection_on_video_tpu.parallel import initialize_multihost
+
+        initialize_multihost(
+            coordinator=trainer_cfg.get("coordinator"),
+            num_processes=trainer_cfg.get("num_processes"),
+            process_id=trainer_cfg.get("process_id"),
+            autodetect=trainer_cfg.get("coordinator") is None,
+        )
+    import jax
+
+    is_primary = jax.process_index() == 0
+
     runner_cfg = cfg.get("runner") or {}
     if not runner_cfg.get("model_class"):
         raise SystemExit(
@@ -69,7 +88,6 @@ def main(argv=None) -> None:
     model = locate(runner_cfg["model_class"])(model_config)
 
     data_cfg = cfg.get("data", {})
-    trainer_cfg = cfg.get("trainer", {})
 
     from anomaly_detection_on_video_tpu.data import build_feature_dataset
     from anomaly_detection_on_video_tpu.training import VideoAnomalyDetectionRunner
@@ -80,11 +98,14 @@ def main(argv=None) -> None:
         WandbLogger,
     )
 
-    loggers = [ConsoleLogger()]
+    # non-primary processes write nothing: no log files, no W&B run, no
+    # checkpoints — they contribute their mesh shards and read the same
+    # replicated metrics
+    loggers = [ConsoleLogger()] if is_primary else []
     log_path = trainer_cfg.get("log_path", "logs/metrics.jsonl")
-    if log_path:
+    if log_path and is_primary:
         loggers.append(JsonlLogger(log_path))
-    if cfg.get("wandb_key"):
+    if cfg.get("wandb_key") and is_primary:
         choices = cfg.get("_choices_", {})
         run_name = f"{choices.get('data', 'data')}-{choices.get('runner', 'runner')}"
         wandb_cfg = trainer_cfg.get("logger") or {}
@@ -103,23 +124,26 @@ def main(argv=None) -> None:
     checkpointer = None
     ckpt_cfg = trainer_cfg.get("checkpoint", {})
     if ckpt_cfg.get("dirpath"):
+        # every process opens the directory (a multihost resume must
+        # restore the same state everywhere) but only process 0 writes
         checkpointer = TopKCheckpointer(
             ckpt_cfg["dirpath"],
             top_k=int(ckpt_cfg.get("save_top_k", 10)),
         )
-        # self-describing checkpoints (role of the reference's
-        # save_hyperparameters, src/runner.py:23): infer.py rebuilds the
-        # model from this without --model-config flags
-        checkpointer.write_metadata(
-            {
-                "model_name": cfg.get("_choices_", {}).get("runner"),
-                "model_class": runner_cfg["model_class"],
-                "model_config": runner_cfg["model_config"],
-                "optimizer": runner_cfg.get("optimizer", {}),
-                "data": data_cfg,
-                "seed": cfg.get("seed", 0),
-            }
-        )
+        if is_primary:
+            # self-describing checkpoints (role of the reference's
+            # save_hyperparameters, src/runner.py:23): infer.py rebuilds
+            # the model from this without --model-config flags
+            checkpointer.write_metadata(
+                {
+                    "model_name": cfg.get("_choices_", {}).get("runner"),
+                    "model_class": runner_cfg["model_class"],
+                    "model_config": runner_cfg["model_config"],
+                    "optimizer": runner_cfg.get("optimizer", {}),
+                    "data": data_cfg,
+                    "seed": cfg.get("seed", 0),
+                }
+            )
 
     mesh = build_mesh(trainer_cfg)
 
@@ -129,7 +153,7 @@ def main(argv=None) -> None:
         data_cfg=data_cfg,
         mesh=mesh,
         loggers=loggers,
-        checkpointer=checkpointer,
+        checkpointer=checkpointer if is_primary else None,
         seed=int(cfg.get("seed", 0)),
         eval_batch_videos=int(trainer_cfg.get("eval_batch_videos", 8)),
     )
@@ -172,9 +196,9 @@ def main(argv=None) -> None:
         shuffle=bool(data_cfg.get("shuffle", False)),
         eval_every=int(trainer_cfg.get("eval_every", 1)),
         frames_per_clip=int(data_cfg.get("frames_per_clip", 16)),
-        figure_dir=trainer_cfg.get("figure_dir"),
+        figure_dir=trainer_cfg.get("figure_dir") if is_primary else None,
     )
-    if result is not None:
+    if result is not None and is_primary:
         print(f"final valid/rec_auc={result.rec_auc:.4f} valid/pr_auc={result.pr_auc:.4f}")
 
 

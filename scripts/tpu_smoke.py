@@ -170,6 +170,28 @@ def smoke_int8():
     return f"cosine {cos:.6f} vs bf16"
 
 
+def smoke_int8_flow():
+    """flow-stream int8: the dequantize calibration chain (resize ->
+    ten-crop -> uint8 flow dequantize) compiles on the real toolchain and
+    agrees with the full-precision flow pipeline."""
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import FeatureExtractor
+
+    rng = np.random.RandomState(6)
+    flow_u8 = rng.randint(0, 256, (2 * 16, 240, 320, 2), np.uint8)
+    kw = dict(dtype=jnp.bfloat16, batch=20, stream="flow")
+    base = FeatureExtractor(**kw)
+    ref = base.extract_frames(flow_u8)
+    quant = FeatureExtractor(**kw, variables=base.variables, quantize=True)
+    out = quant.extract_frames(flow_u8)
+    cos = float(
+        np.sum(ref * out) / (np.linalg.norm(ref) * np.linalg.norm(out))
+    )
+    assert cos > 0.999, f"int8 flow feature cosine {cos}"
+    return f"cosine {cos:.6f} vs bf16"
+
+
 def main() -> None:
     import jax
 
@@ -179,6 +201,7 @@ def main() -> None:
     check("device optical flow", smoke_device_flow)
     check("MGFN train step", smoke_train_step)
     check("int8 extraction (opt-in)", smoke_int8)
+    check("int8 flow stream (opt-in)", smoke_int8_flow)
     check("extraction throughput", smoke_throughput)
     if FAILURES:
         raise SystemExit(f"FAILED: {FAILURES}")

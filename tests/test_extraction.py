@@ -360,9 +360,61 @@ def test_quantized_extractor_matches_full_precision(rng):
     assert quant.model is model_before
 
 
-def test_quantize_rejects_flow_stream():
-    with pytest.raises(ValueError, match="rgb"):
-        FeatureExtractor(dtype=jnp.float32, stream="flow", quantize=True)
+def test_quantize_calibration_pinned_per_outdir(rng, tmp_path):
+    """A quantized run pins its first-chunk calibration scales in the
+    outdir (act_scales_<stream>.json); a resumed run loads them instead of
+    re-calibrating on ITS first chunk, so one feature directory holds
+    exactly one quantization definition."""
+    import json
+
+    frames_a = rng.randint(0, 256, (2 * 16, 48, 64, 3), np.uint8)
+    frames_b = rng.randint(100, 256, (2 * 16, 48, 64, 3), np.uint8)
+    kw = dict(dtype=jnp.float32, batch=10, resize=64, cropsize=56)
+    variables = FeatureExtractor(**kw).variables
+
+    ex1 = FeatureExtractor(**kw, variables=variables, quantize=True)
+    ex1.pin_calibration(str(tmp_path))
+    assert ex1._needs_calibration  # nothing pinned yet -> calibrate on A
+    ex1.extract_frames(frames_a)
+    sidecar = tmp_path / "act_scales_rgb.json"
+    assert sidecar.exists()
+    assert len(json.loads(sidecar.read_text())) > 0
+
+    # "resume": a fresh extractor whose first chunk is B, pinned to the
+    # same outdir -> loads A's scales without calibrating
+    ex2 = FeatureExtractor(**kw, variables=variables, quantize=True)
+    ex2.pin_calibration(str(tmp_path))
+    assert not ex2._needs_calibration
+    np.testing.assert_array_equal(
+        ex2.extract_frames(frames_b), ex1.extract_frames(frames_b)
+    )
+
+    # without pinning, the resume would have calibrated on B instead and
+    # produced a (slightly) different quantization
+    ex3 = FeatureExtractor(**kw, variables=variables, quantize=True)
+    assert not np.array_equal(
+        ex3.extract_frames(frames_b), ex2.extract_frames(frames_b)
+    )
+
+
+def test_quantized_flow_extractor_matches_full_precision(rng):
+    """int8 on the flow stream: calibration runs the flow transform chain
+    (resize -> ten-crop -> uint8 dequantize) instead of RGB standardize."""
+    flow_u8 = rng.randint(0, 256, (3 * 16, 48, 64, 2), np.uint8)
+    kw = dict(dtype=jnp.float32, batch=10, resize=64, cropsize=56,
+              stream="flow", flow_backend="host")
+    base = FeatureExtractor(**kw)
+    quant = FeatureExtractor(**kw, variables=base.variables, quantize=True)
+    assert quant._needs_calibration
+    ref = base.extract_frames(flow_u8)
+    out = quant.extract_frames(flow_u8)
+    assert not quant._needs_calibration
+    assert out.shape == ref.shape
+    cos = float(
+        np.sum(ref * out) / (np.linalg.norm(ref) * np.linalg.norm(out))
+    )
+    assert cos > 0.999, cos
+    assert not np.array_equal(ref, out)  # actually quantized, not bypassed
 
 
 def test_flow_backend_pinned_per_outdir(tmp_path):

@@ -89,6 +89,34 @@ def test_i3d_8x8_r50_shapes():
     assert out.shape == (2, 2048)
 
 
+def test_i3d_8x8_r50_int8_matches_full_precision():
+    """act_scales quantization covers the i3d_8x8_r50 variant too: its
+    distinct stem geometry (s(1,2,2), pool (1,3,3)) and (4,7,7) head pool
+    sit around the same ConvBN blocks, so calibration must hit every one.
+    224x224 is the smallest spatial size the VALID head pool accepts; T=8
+    keeps the single CPU forward cheap."""
+    from anomaly_detection_on_video_tpu.models.i3d import calibrate_act_scales
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 8, 224, 224, 3), jnp.float32, -1.0, 1.0)
+    model = i3d_8x8_r50(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(model.apply(variables, x))
+
+    scales = calibrate_act_scales(model, variables, x)
+    # stem + 16 bottlenecks x 3 convs + 4 stage projections = 53 ConvBNs
+    assert len(scales) == 53, sorted(scales)
+
+    quant = i3d_8x8_r50(dtype=jnp.float32, act_scales=scales)
+    out = np.asarray(quant.apply(variables, x))
+    assert out.shape == ref.shape
+    cos = float(
+        np.sum(ref * out) / (np.linalg.norm(ref) * np.linalg.norm(out))
+    )
+    assert cos > 0.999, cos
+    assert not np.array_equal(ref, out)  # actually quantized, not bypassed
+
+
 def test_build_factory_rejects_unknown():
     with pytest.raises(AttributeError):
         build_i3d_feature_extractor("nope")

@@ -108,7 +108,7 @@ print("EVAL_AUC", single.rec_auc, multi.rec_auc, flush=True)
 """
 
 
-def _run_two_process(worker_template, tmp_path, success_token):
+def _run_two_process(worker_template, tmp_path, success_token, **fmt):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -120,23 +120,250 @@ def _run_two_process(worker_template, tmp_path, success_token):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c",
-             worker_template.format(repo=repo, port=port, pid=pid)],
+             worker_template.format(repo=repo, port=port, pid=pid, **fmt)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1200)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert success_token in out, f"process {pid} output:\n{out}"
+    return outs
+
+
+SWEEP_WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import extract_features
+extract_features.main([
+    "--videos", {videos!r},
+    "--outdir", {outdir!r},
+    "--split", "train",
+    "--dtype", "float32",
+    "--batch", "8",
+    "--decode-workers", "1",
+    "--multihost",
+    "--coordinator", "localhost:{port}",
+    "--num-processes", "2",
+    "--process-id", "{pid}",
+])
+print("SWEEP_DONE", flush=True)
+"""
+
+
+TRAIN_WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+
+from anomaly_detection_on_video_tpu.models import build_model
+from anomaly_detection_on_video_tpu.parallel import (
+    initialize_multihost,
+    make_mesh,
+)
+from anomaly_detection_on_video_tpu.training import TrainState
+from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+from anomaly_detection_on_video_tpu.training.runner import make_train_step
+
+initialize_multihost("localhost:{port}", num_processes=2, process_id={pid})
+assert jax.process_count() == 2
+
+# dropout_rate=0 + randomized params: as in tests/test_training.py, exact-
+# zero ties in top-k selection would otherwise flip under the mesh's
+# different reduction order (amplification noise, not a DP bug)
+config, model = build_model(
+    "mgfn", dims=(16, 16, 32), depths=(1, 1, 1), dim_head=8, channels=24,
+    dropout_rate=0.0,
+)
+
+
+def fresh_state():
+    variables = model.init(
+        {{"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}},
+        jnp.zeros((2, 10, 32, 25)),
+        train=True,
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ]
+    variables = dict(
+        variables, params=jax.tree_util.tree_unflatten(treedef, leaves)
+    )
+    return TrainState.create(model, variables, adam_with_l2())
+
+
+rng = np.random.RandomState(1)
+batches = [rng.randn(8, 10, 32, 25).astype(np.float32) for _ in range(3)]
+nlab = np.zeros((4,), np.float32)
+alab = np.ones((4,), np.float32)
+keys = [np.asarray(jax.random.PRNGKey(100 + k)) for k in range(3)]
+
+single_step = make_train_step()
+s = fresh_state()
+single_losses = []
+for b, k in zip(batches, keys):
+    s, loss = single_step(
+        s, jnp.asarray(b), jnp.asarray(nlab), jnp.asarray(alab),
+        jnp.asarray(k),
+    )
+    single_losses.append(float(loss))
+single_params = jax.tree_util.tree_leaves(
+    jax.tree_util.tree_map(np.asarray, s.params)
+)
+
+mesh = make_mesh()  # global 4-device data mesh spanning both processes
+assert any(d.process_index != jax.process_index() for d in mesh.devices.flat)
+multi_step = make_train_step(mesh)
+m = fresh_state()  # host-local leaves: first step must replicate them
+multi_losses = []
+for b, k in zip(batches, keys):
+    m, loss = multi_step(m, b, nlab, alab, k)
+    multi_losses.append(float(loss))
+assert not jax.tree_util.tree_leaves(m.params)[0].is_fully_addressable
+multi_params = jax.tree_util.tree_leaves(
+    jax.tree_util.tree_map(np.asarray, m.params)
+)
+
+np.testing.assert_allclose(single_losses, multi_losses, rtol=2e-5)
+for a, b in zip(single_params, multi_params):
+    np.testing.assert_allclose(a, b, atol=2e-5)
+print("TRAIN_EQ", round(multi_losses[-1], 6), flush=True)
+"""
 
 
 @pytest.mark.slow
 def test_two_process_mesh_psum(tmp_path):
     _run_two_process(WORKER, tmp_path, "TOTAL 28.0")
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single(tmp_path):
+    """Three DP train steps on a 2-process global mesh must match the
+    single-device run: the step globalizes each process's identical host
+    batch, grads psum across hosts, and the updated params stay global."""
+    _run_two_process(TRAIN_WORKER, tmp_path, "TRAIN_EQ")
+
+
+RUN_WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import run
+run.main([
+    "runner=mgfn",
+    "trainer.multihost=true",
+    "trainer.coordinator=localhost:{port}",
+    "trainer.num_processes=2",
+    "trainer.process_id={pid}",
+    "data.train_path={seg_dir}",
+    "data.test_path={test_dir}",
+    "data.ground_truth_path={gt_path}",
+    "data.batch_size=4",
+    "trainer.max_epochs=1",
+    "trainer.log_path={run_dir}/metrics.jsonl",
+    "trainer.checkpoint.dirpath={run_dir}/ckpt",
+    "runner.model_config.dims=[16,16,32]",
+    "runner.model_config.depths=[1,1,1]",
+    "runner.model_config.dim_head=8",
+])
+print("RUN_DONE", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_training_cli(tmp_path):
+    """`run.py trainer.multihost=true` trains DP across a 2-process global
+    mesh end-to-end: every host contributes mesh shards, only process 0
+    writes metrics/checkpoints, and the saved (cross-process replicated)
+    state round-trips through orbax."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    seg_dir = tmp_path / "segments"
+    test_dir = tmp_path / "test"
+    seg_dir.mkdir()
+    test_dir.mkdir()
+    gt = {}
+    for i in range(8):
+        prefix = "Normal_Videos" if i % 2 == 0 else "Abuse"
+        name = f"{prefix}{i:03d}_x264_i3d.npy"
+        np.save(seg_dir / name, rng.randn(10, 32, 2048).astype(np.float32))
+        np.save(test_dir / name, rng.randn(3, 10, 2048).astype(np.float32))
+        gt[name[:-8]] = [0.0 if i % 2 == 0 else 1.0] * (3 * 16)
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+    run_dir = tmp_path / "run"
+
+    outs = _run_two_process(
+        RUN_WORKER, tmp_path, "RUN_DONE",
+        seg_dir=str(seg_dir), test_dir=str(test_dir),
+        gt_path=str(gt_path), run_dir=str(run_dir),
+    )
+    # only process 0 logs and prints the final AUC line
+    assert "valid/rec_auc=" in outs[0]
+    assert "valid/rec_auc=" not in outs[1]
+    records = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    assert any("valid/rec_auc" in r for r in records)
+    # the checkpoint was written by process 0 from global arrays
+    hparams = json.load(open(run_dir / "ckpt" / "hparams.json"))
+    assert hparams["model_name"] == "mgfn"
+    assert any(
+        entry.name.isdigit() for entry in os.scandir(run_dir / "ckpt")
+    )
+
+
+@pytest.mark.slow
+def test_two_process_extraction_sweep(tmp_path):
+    """--multihost shards the video list across processes into one shared
+    outdir; every video's features land, and only process 0 pools segments
+    (after the cross-host barrier)."""
+    import cv2
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    specs = [("Normal_Videos_001_x264.avi", 40), ("Abuse001_x264.avi", 35),
+             ("Abuse002_x264.avi", 20)]
+    for name, frames in specs:
+        writer = cv2.VideoWriter(
+            str(videos / name), cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48)
+        )
+        for _ in range(frames):
+            writer.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+        writer.release()
+
+    out = tmp_path / "features"
+    outs = _run_two_process(
+        SWEEP_WORKER, tmp_path, "SWEEP_DONE",
+        videos=str(videos), outdir=str(out),
+    )
+    train = out / "train"
+    for name, frames in specs:
+        feats = np.load(train / f"{name[:-4]}_i3d.npy")
+        assert feats.shape == (-(-frames // 16), 10, 2048)
+    # the sweep actually split: neither process extracted everything
+    for o in outs:
+        assert "extracted 3 new" not in o
+    # segments pooled exactly once, by process 0
+    assert sum("segmented" in o for o in outs) == 1
+    segs = np.load(out / "segment_features_32" / "Normal_Videos_001_x264_i3d.npy")
+    assert segs.shape == (10, 32, 2048)
 
 
 @pytest.mark.slow
