@@ -10,12 +10,15 @@ from YAML via ``runner=<name>`` (see configs/runner/).
 from .i3d import I3DResNet, build_i3d_feature_extractor, i3d_8x8_r50, i3res50
 from .mgfn import MGFNConfig, MGFNForVideoAnomalyDetection, MGFNModel, MGFNOutput
 from .rtfm import RTFMConfig, RTFMForVideoAnomalyDetection, RTFMOutput
+from .sultani import SultaniConfig, SultaniForVideoAnomalyDetection, SultaniOutput
 
 MODEL_REGISTRY = {
     "mgfn": (MGFNConfig, MGFNForVideoAnomalyDetection),
     # the reference reserved this slot but left it empty
     # (src/models/rtfm/__init__.py); implemented here
     "rtfm": (RTFMConfig, RTFMForVideoAnomalyDetection),
+    # the CVPR 2018 MIL-ranking baseline the registry pattern anticipates
+    "sultani": (SultaniConfig, SultaniForVideoAnomalyDetection),
 }
 
 
@@ -32,6 +35,9 @@ __all__ = [
     "RTFMConfig",
     "RTFMForVideoAnomalyDetection",
     "RTFMOutput",
+    "SultaniConfig",
+    "SultaniForVideoAnomalyDetection",
+    "SultaniOutput",
     "I3DResNet",
     "build_i3d_feature_extractor",
     "i3d_8x8_r50",

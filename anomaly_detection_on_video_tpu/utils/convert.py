@@ -582,3 +582,26 @@ def export_rtfm_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray
         sd[f"{official}.weight"] = np.asarray(params[ours]["kernel"]).T
         sd[f"{official}.bias"] = np.asarray(params[ours]["bias"])
     return sd
+
+
+def convert_sultani_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Sultani pytorch-port state dict (fc1/fc2/fc3 Linear layers) ->
+    flax variables (models/sultani/model.py tree)."""
+    params: Dict[str, Any] = {}
+    for name in ("fc1", "fc2", "fc3"):
+        _set(params, (name, "kernel"), _np(state_dict[f"{name}.weight"]).T)
+        _set(params, (name, "bias"), _np(state_dict[f"{name}.bias"]))
+    return {"params": params}
+
+
+def export_sultani_state_dict(
+    variables: Mapping[str, Any],
+) -> Dict[str, np.ndarray]:
+    """flax Sultani variables -> the pytorch-port layout. Exact inverse of
+    convert_sultani_state_dict."""
+    params = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for name in ("fc1", "fc2", "fc3"):
+        sd[f"{name}.weight"] = np.asarray(params[name]["kernel"]).T
+        sd[f"{name}.bias"] = np.asarray(params[name]["bias"])
+    return sd

@@ -98,6 +98,7 @@ def build_scorer(args):
             convert_mgfn_state_dict,
             convert_official_mgfn_state_dict,
             convert_rtfm_state_dict,
+            convert_sultani_state_dict,
         )
 
         state_dict = torch.load(args.torch_weights, map_location="cpu")
@@ -105,6 +106,8 @@ def build_scorer(args):
             state_dict = state_dict["state_dict"]
         if model_name == "rtfm":
             convert = convert_rtfm_state_dict
+        elif model_name == "sultani":
+            convert = convert_sultani_state_dict
         else:
             convert = (
                 convert_official_mgfn_state_dict
@@ -173,7 +176,8 @@ def main(argv=None) -> None:
     parser.add_argument("--official", action="store_true",
                         help="--torch-weights uses the official-release "
                              "layout instead of the HF layout")
-    parser.add_argument("--model", default=None, choices=["mgfn", "rtfm"],
+    parser.add_argument("--model", default=None,
+                        choices=["mgfn", "rtfm", "sultani"],
                         help="scorer family; defaults to the checkpoint's "
                              "persisted hparams.json (else mgfn)")
     parser.add_argument("--model-config", nargs="*", metavar="KEY=VALUE",

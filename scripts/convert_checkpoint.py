@@ -34,7 +34,8 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--kind",
         required=True,
-        choices=["i3d", "i3d-8x8", "mgfn-hf", "mgfn-official", "rtfm"],
+        choices=["i3d", "i3d-8x8", "mgfn-hf", "mgfn-official", "rtfm",
+                 "sultani"],
     )
     parser.add_argument(
         "--reverse",
@@ -51,10 +52,12 @@ def main(argv=None) -> None:
         convert_official_mgfn_state_dict,
         convert_pytorchvideo_resnet_state_dict,
         convert_rtfm_state_dict,
+        convert_sultani_state_dict,
         export_i3res50_state_dict,
         export_mgfn_state_dict,
         export_pytorchvideo_resnet_state_dict,
         export_rtfm_state_dict,
+        export_sultani_state_dict,
     )
     from anomaly_detection_on_video_tpu.utils.serialization import save_variables
 
@@ -69,6 +72,7 @@ def main(argv=None) -> None:
             "mgfn-hf": export_mgfn_state_dict,
             "mgfn-official": None,
             "rtfm": export_rtfm_state_dict,
+            "sultani": export_sultani_state_dict,
         }[args.kind]
         if exporter is None:
             raise SystemExit(
@@ -95,6 +99,7 @@ def main(argv=None) -> None:
         "mgfn-hf": convert_mgfn_state_dict,
         "mgfn-official": convert_official_mgfn_state_dict,
         "rtfm": convert_rtfm_state_dict,
+        "sultani": convert_sultani_state_dict,
     }[args.kind]
     variables = converter(state_dict)
     save_variables(args.dst, variables)

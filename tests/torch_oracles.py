@@ -549,3 +549,35 @@ class OracleRTFM(nn.Module):
         h = torch.relu(self.fc2(h))
         scores = torch.sigmoid(self.fc3(h))  # (B, T, 1)
         return scores.view(bs, ncrops, t).mean(1)[..., None]
+
+
+class OracleSultani(nn.Module):
+    """Sultani CVPR 2018 MIL-ranking scorer in the common pytorch-port
+    layout (fc1/fc2/fc3): relu(fc1) -> drop -> fc2 -> drop -> sigmoid(fc3),
+    crop-averaged (models/sultani/model.py semantics; dropout identity in
+    eval mode)."""
+
+    def __init__(self, channels=2048, hidden=(512, 32)):
+        super().__init__()
+        self.fc1 = nn.Linear(channels, hidden[0])
+        self.fc2 = nn.Linear(hidden[0], hidden[1])
+        self.fc3 = nn.Linear(hidden[1], 1)
+
+    def forward(self, video):  # (bs, ncrops, t, channels)
+        bs, ncrops, t, c = video.shape
+        x = video.reshape(bs * ncrops, t, c)
+        h = torch.relu(self.fc1(x))
+        h = self.fc2(h)
+        scores = torch.sigmoid(self.fc3(h))  # (B, T, 1)
+        return scores.view(bs, ncrops, t).mean(1)[..., None]
+
+    def ranking_loss(self, video, lambda1=8e-5, lambda2=8e-5):
+        """Paper eq. 3 on a normal-first concatenated batch: pairwise hinge
+        on segment-score maxima + smoothness/sparsity on the abnormal bag."""
+        scores = self.forward(video)[..., 0]  # (bs, t)
+        half = scores.shape[0] // 2
+        n, a = scores[:half], scores[half:]
+        hinge = torch.relu(1.0 - a.max(dim=1).values + n.max(dim=1).values)
+        smooth = ((a[:, 1:] - a[:, :-1]) ** 2).sum(dim=1)
+        sparse = a.sum(dim=1)
+        return (hinge + lambda1 * smooth + lambda2 * sparse).mean()
