@@ -1,7 +1,7 @@
 """Slow-tier training-quality evidence: convergence on structured bags.
 
 Companion to scripts/convergence_bench.py (which commits full AUC curves to
-docs/convergence.json): both MIL model families must learn to separate
+docs/convergence.json): every MIL model family must learn to separate
 elevated-magnitude anomalous windows (data/synthetic.py) far beyond chance.
 The reference can only demonstrate this against its published UCF-Crime
 features (src/dataset.py:20-21); this is the air-gapped equivalent.
@@ -21,7 +21,11 @@ DIM = 64
 CONFIGS = {
     "mgfn": dict(channels=DIM, dims=(32, 64, 128), depths=(2, 2, 1), dim_head=16),
     "rtfm": dict(channels=DIM, hidden_dims=(64, 32), margin=4.0),
+    "sultani": dict(channels=DIM, hidden_dims=(64, 32), dropout_rate=0.3),
 }
+# the ranking hinge needs a larger step at this scale (see
+# scripts/convergence_bench.py: 5e-4 is still climbing at epoch 16)
+LEARNING_RATES = {"sultani": 2e-3}
 
 
 class _Capture:
@@ -44,7 +48,10 @@ def test_converges_on_structured_bags(model_name):
         cap = _Capture()
         runner = VideoAnomalyDetectionRunner(
             model,
-            optimizer_cfg={"learning_rate": 5e-4, "weight_decay": 5e-4},
+            optimizer_cfg={
+                "learning_rate": LEARNING_RATES.get(model_name, 5e-4),
+                "weight_decay": 5e-4,
+            },
             loggers=[cap],
             seed=seed,
         )
