@@ -75,7 +75,7 @@ def initialize_multihost(
     )
 
 
-def barrier(name: str, timeout_s: int = 3600) -> None:
+def barrier(name: str, timeout_s: int = 86400) -> None:
     """Cross-process rendezvous through the coordination service.
 
     For coarse job-level sync (e.g. "every host finished its extraction
@@ -84,7 +84,8 @@ def barrier(name: str, timeout_s: int = 3600) -> None:
     CPU) enforces its own ~30 s connect timeout, so processes whose work
     is minutes skewed (a per-video sweep on uneven shards) kill the run.
     The coordinator barrier has an explicit timeout and needs no device
-    traffic. No-op single-process.
+    traffic. The default tolerates a full-corpus extraction sweep (hours);
+    callers with tighter expectations pass their own. No-op single-process.
     """
     from jax._src import distributed
 

@@ -9,6 +9,13 @@ masking — and writes per-video score JSON (plus optional overlay figures).
 
     python infer.py --videos /data/videos --checkpoint ckpts/ --outdir scores
     python infer.py --videos v.mp4 --torch-weights mgfn_hf.pt --outdir scores
+    python infer.py --videos /ingest --checkpoint ckpts/ --outdir scores --watch
+
+``--watch`` turns the CLI into a minimal serving loop: the videos
+directory is polled and every new video is scored as soon as its file
+size is stable across two polls (i.e. the producer finished writing).
+Scoring is idempotent (a video with an existing score JSON is skipped), so
+the watcher can be restarted at any time.
 
 Checkpoints: an orbax directory written by run.py (``--checkpoint``), or a
 torch MGFN state dict (``--torch-weights``, HF layout; ``--official`` for
@@ -198,10 +205,19 @@ def main(argv=None) -> None:
     parser.add_argument("--frames-per-clip", type=int, default=16)
     parser.add_argument("--figure", action="store_true",
                         help="write a <stem>_scores.png overlay per video")
+    parser.add_argument("--watch", action="store_true",
+                        help="serving loop: poll --videos and score new "
+                             "videos as they arrive (skip already-scored; "
+                             "wait for file sizes to stabilize)")
+    parser.add_argument("--poll-interval", type=float, default=5.0,
+                        help="--watch poll period in seconds")
+    parser.add_argument("--idle-exit", type=float, default=None,
+                        help="--watch: exit after this many seconds with "
+                             "no new videos (default: run forever)")
     args = parser.parse_args(argv)
 
     videos = find_videos(args.videos)
-    if not videos:
+    if not videos and not args.watch:
         raise SystemExit(f"no videos match {args.videos!r}")
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -226,7 +242,7 @@ def main(argv=None) -> None:
     )
     apply_fn, variables, eval_step, model_name = build_scorer(args)
 
-    for path in videos:
+    def process(path):
         stem = os.path.splitext(os.path.basename(path))[0]
         feat_path = (
             os.path.join(args.features_dir, feature_filename(stem))
@@ -279,6 +295,53 @@ def main(argv=None) -> None:
             fig.tight_layout()
             fig.savefig(os.path.join(args.outdir, f"{stem}_scores.png"), dpi=80)
             plt.close(fig)
+
+    if not args.watch:
+        for path in videos:
+            process(path)
+        return
+
+    # serving loop: score each video once its size is stable across two
+    # polls (the producer finished writing); skip anything already scored
+    import time
+
+    def scored(path):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return os.path.exists(os.path.join(args.outdir, f"{stem}_scores.json"))
+
+    last_sizes = {}
+    last_new = time.time()
+    print(
+        f"watching {args.videos!r} every {args.poll_interval:g}s "
+        f"(idle-exit: {args.idle_exit})",
+        flush=True,
+    )
+    while True:
+        sizes = {}
+        for path in find_videos(args.videos):
+            try:
+                sizes[path] = os.path.getsize(path)
+            except OSError:
+                continue  # vanished between listing and stat
+        for path, size in sorted(sizes.items()):
+            if scored(path) or last_sizes.get(path) != size:
+                continue  # done already, new this poll, or still growing
+            try:
+                process(path)
+            except Exception as exc:  # one bad file must not kill serving
+                print(f"warning: {path}: {exc}", file=sys.stderr)
+                stem = os.path.splitext(os.path.basename(path))[0]
+                err_path = os.path.join(args.outdir, f"{stem}_scores.json")
+                with open(err_path, "w") as f:
+                    json.dump(
+                        {"video": os.path.basename(path), "error": str(exc)}, f
+                    )
+            last_new = time.time()
+        last_sizes = sizes
+        if args.idle_exit is not None and time.time() - last_new > args.idle_exit:
+            print("idle; exiting watch loop", flush=True)
+            return
+        time.sleep(args.poll_interval)
 
 
 if __name__ == "__main__":

@@ -262,6 +262,81 @@ def test_infer_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_cli_watch_mode(tmp_path):
+    """--watch serving loop: a video present at startup and one dropped in
+    mid-run both get scored; already-scored videos are skipped; the loop
+    exits on --idle-exit."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    write_video(videos / "first.avi", n_frames=20)
+
+    # a sultani checkpoint: cheapest scorer, and exercises the third family
+    # through the serving surface
+    _, model = build_model("sultani")
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 32, 2049), jnp.float32),
+        train=True,
+    )
+    state = TrainState.create(model, variables, adam_with_l2())
+    ckpt = TopKCheckpointer(str(tmp_path / "ckpts"))
+    ckpt.save(step=1, state=state, metric=0.5)
+    ckpt.wait()
+    ckpt.write_metadata({"model_name": "sultani", "model_config": {}})
+
+    outdir = tmp_path / "scores"
+    proc = subprocess.Popen(
+        [
+            sys.executable, os.path.join(REPO, "infer.py"),
+            "--videos", str(videos),
+            "--checkpoint", str(tmp_path / "ckpts"),
+            "--outdir", str(outdir),
+            "--dtype", "float32",
+            "--batch", "10",
+            "--watch", "--poll-interval", "1", "--idle-exit", "45",
+        ],
+        env=ENV, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 600
+        while not (outdir / "first_scores.json").exists():
+            assert proc.poll() is None, proc.communicate()[0]
+            assert time.time() < deadline, "first video never scored"
+            time.sleep(2)
+        write_video(videos / "second.avi", n_frames=35, seed=1)
+        while not (outdir / "second_scores.json").exists():
+            assert proc.poll() is None, proc.communicate()[0]
+            assert time.time() < deadline, "dropped-in video never scored"
+            time.sleep(2)
+        out, _ = proc.communicate(timeout=300)  # idle-exit fires
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "idle; exiting watch loop" in out
+
+    first = json.loads((outdir / "first_scores.json").read_text())
+    second = json.loads((outdir / "second_scores.json").read_text())
+    assert first["model"] == "sultani"
+    assert len(first["frame_scores"]) == 2 * 16  # ceil(20/16) clips
+    assert len(second["frame_scores"]) == 3 * 16
+    assert all(0.0 <= s <= 1.0 for s in second["frame_scores"])
+
+
+@pytest.mark.slow
 def test_infer_cli_torch_weights(tmp_path):
     """infer.py with a converted torch MGFN state dict (HF layout)."""
     import torch
