@@ -67,18 +67,29 @@ class TopKCheckpointer:
         if self.every_n_steps and step - self._last_saved < self.every_n_steps:
             return None
         def host_leaf(x):
-            # a multi-host DP run gates saving to process 0 (run.py), whose
-            # orbax has no peers to coordinate with — fully-replicated
-            # global arrays are read back to host so the save is local.
-            # (TP-sharded state across processes would need the all-process
-            # orbax path; make_train_step only replicates across processes.)
+            # a multi-host run gates saving to process 0 (run.py), whose
+            # orbax has no peers to coordinate with — global arrays are
+            # assembled on host from THIS process's addressable shards so
+            # the save is local. Fully-replicated (DP) state always
+            # assembles; TP-sharded state assembles too under the
+            # row-major (data, model) mesh layout, where every model
+            # column crosses each process (parallel/mesh.make_mesh), so
+            # process 0 holds every distinct shard.
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                if not x.is_fully_replicated:
+                if x.is_fully_replicated:
+                    return np.asarray(x)
+                out = np.zeros(x.shape, x.dtype)
+                covered = np.zeros(x.shape, bool)
+                for shard in x.addressable_shards:
+                    out[shard.index] = np.asarray(shard.data)
+                    covered[shard.index] = True
+                if not covered.all():
                     raise NotImplementedError(
-                        "process-local save of a cross-process sharded "
-                        "array; gather it or save from all processes"
+                        "this process's shards do not cover the array; "
+                        "save from the process that holds every shard or "
+                        "use an all-process checkpointer"
                     )
-                return np.asarray(x)
+                return out
             return x
 
         payload = jax.tree_util.tree_map(

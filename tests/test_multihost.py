@@ -268,6 +268,7 @@ run.main([
     "trainer.coordinator=localhost:{port}",
     "trainer.num_processes=2",
     "trainer.process_id={pid}",
+    "trainer.resume={resume}",
     "data.train_path={seg_dir}",
     "data.test_path={test_dir}",
     "data.ground_truth_path={gt_path}",
@@ -280,6 +281,61 @@ run.main([
     "runner.model_config.dim_head=8",
 ])
 print("RUN_DONE", flush=True)
+"""
+
+
+TP_CKPT_WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from anomaly_detection_on_video_tpu.models import build_model
+from anomaly_detection_on_video_tpu.parallel import (
+    barrier,
+    initialize_multihost,
+    make_mesh,
+)
+from anomaly_detection_on_video_tpu.training import VideoAnomalyDetectionRunner
+from anomaly_detection_on_video_tpu.training.checkpoints import TopKCheckpointer
+
+initialize_multihost("localhost:{port}", num_processes=2, process_id={pid})
+assert jax.process_count() == 2
+
+# 2x2 (data, model) mesh spanning both processes: weights shard
+# tensor-parallel ACROSS the process boundary's device columns
+mesh = make_mesh((2, 2), ("data", "model"))
+_, model = build_model("sultani", channels=24, hidden_dims=(16, 8))
+runner = VideoAnomalyDetectionRunner(model, mesh=mesh, seed=0)
+rng = np.random.RandomState(0)
+state = runner.init_state(rng.randn(4, 10, 8, 25).astype(np.float32))
+leaves = jax.tree_util.tree_leaves(state.params)
+assert any(not l.is_fully_replicated for l in leaves)  # actually TP-sharded
+assert all(not l.is_fully_addressable for l in leaves)  # global arrays
+
+if {pid} == 0:
+    ckpt = TopKCheckpointer({ckpt_dir!r})
+    # process-local save must assemble the TP-sharded leaves from this
+    # process's addressable shards (training/checkpoints.py host_leaf)
+    ckpt.save(step=1, state=state, metric=0.5)
+    ckpt.wait()
+    _, fresh_model = build_model("sultani", channels=24, hidden_dims=(16, 8))
+    template = VideoAnomalyDetectionRunner(fresh_model, seed=1)
+    t_state = template.init_state(rng.randn(4, 10, 8, 25).astype(np.float32))
+    restored = ckpt.restore_latest(t_state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        host = np.zeros(a.shape, a.dtype)
+        for s in a.addressable_shards:
+            host[s.index] = np.asarray(s.data)
+        np.testing.assert_array_equal(host, np.asarray(b))
+    print("TP_CKPT_OK", flush=True)
+else:
+    print("TP_CKPT_OK (peer)", flush=True)
+barrier("done", timeout_s=600)
 """
 
 
@@ -312,7 +368,7 @@ def test_two_process_training_cli(tmp_path):
     outs = _run_two_process(
         RUN_WORKER, tmp_path, "RUN_DONE",
         seg_dir=str(seg_dir), test_dir=str(test_dir),
-        gt_path=str(gt_path), run_dir=str(run_dir),
+        gt_path=str(gt_path), run_dir=str(run_dir), resume="false",
     )
     # only process 0 logs and prints the final AUC line
     assert "valid/rec_auc=" in outs[0]
@@ -324,6 +380,29 @@ def test_two_process_training_cli(tmp_path):
     assert hparams["model_name"] == "mgfn"
     assert any(
         entry.name.isdigit() for entry in os.scandir(run_dir / "ckpt")
+    )
+
+    # resume: every process restores the same checkpoint and training
+    # continues from the saved step across the 2-process mesh
+    outs = _run_two_process(
+        RUN_WORKER, tmp_path, "RUN_DONE",
+        seg_dir=str(seg_dir), test_dir=str(test_dir),
+        gt_path=str(gt_path), run_dir=str(run_dir), resume="true",
+    )
+    assert "resumed from step" in outs[0]
+    assert "resumed from step" in outs[1]
+    assert "valid/rec_auc=" in outs[0]
+
+
+@pytest.mark.slow
+def test_two_process_tp_checkpoint_save(tmp_path):
+    """Process-local checkpointing of a state whose weights are
+    tensor-parallel-sharded ACROSS processes: process 0 assembles every
+    leaf from its addressable shards (the row-major (data, model) mesh
+    layout guarantees coverage) and the save round-trips."""
+    _run_two_process(
+        TP_CKPT_WORKER, tmp_path, "TP_CKPT_OK",
+        ckpt_dir=str(tmp_path / "ckpt"),
     )
 
 
