@@ -53,9 +53,12 @@ class FeatureExtractor:
         stream: str = "rgb",
         flow_backend: Optional[str] = None,
         quantize: bool = False,
+        crops: str = "ten",
     ):
         if stream not in ("rgb", "flow"):
             raise ValueError(f"stream must be rgb or flow, got {stream!r}")
+        if crops not in ("ten", "center"):
+            raise ValueError(f"crops must be ten or center, got {crops!r}")
         if flow_backend not in (None, "host", "device"):
             raise ValueError(
                 f"flow_backend must be host or device, got {flow_backend!r}"
@@ -79,12 +82,18 @@ class FeatureExtractor:
         self.variables = variables
         self.mesh = mesh
         n_shards = 1 if mesh is None else int(mesh.devices.size)
+        # "ten" is the reference protocol (torchvision TenCrop, required
+        # for the on-disk training contract); "center" is the serving mode:
+        # one crop per clip — exactly ten-crop row 4 — at a tenth of the
+        # device FLOPs (ops/gtransforms.center_crop)
+        self.crops = crops
+        self.n_crops = 10 if crops == "ten" else 1
         # B=240 saturates one v5e's MXU (~1800 crop-fwd/s); 24 clips x 10
         # crops per chip. With a mesh the clip axis shards over devices
         # (SURVEY.md §2.2 SP/CP row: clips are independent, the natural
         # extraction parallel axis), so groups grow by the mesh size.
-        self.group_clips = max(1, batch // 10) * n_shards
-        self.batch = self.group_clips * 10
+        self.group_clips = max(1, batch // self.n_crops) * n_shards
+        self.batch = self.group_clips * self.n_crops
         self.frames_per_clip = frames_per_clip
         self.resize = resize
         self.cropsize = cropsize
@@ -108,7 +117,7 @@ class FeatureExtractor:
         self._build_pipeline()
 
     def _build_pipeline(self) -> None:
-        from ..ops.gtransforms import standardize, ten_crop
+        from ..ops.gtransforms import center_crop, standardize, ten_crop
         from ..ops.resize import (
             resize_bilinear_exact,
             resize_bilinear_fast,
@@ -145,6 +154,14 @@ class FeatureExtractor:
             n_groups = grouped.shape[0]
 
             def body(frames_g):
+                if self.n_crops == 1:
+                    crop = center_crop(frames_g, self.cropsize)
+                    if self.stream == "flow":
+                        x = crop.astype(jnp.float32) / 127.5 - 1.0
+                        x = x.astype(self.model.dtype)
+                    else:
+                        x = standardize(crop).astype(self.model.dtype)
+                    return self.model.apply(variables, x).reshape(gc, 1, -1)
                 if use_pallas_crop and self.channels == 3:
                     # fused Pallas kernel (ops/pallas/crop_norm.py): one pass
                     # from resized uint8 to the bf16 batch; measured at parity
@@ -170,7 +187,7 @@ class FeatureExtractor:
                 return self.model.apply(variables, x).reshape(gc, 10, -1)
 
             feats = jax.lax.map(body, grouped)
-            return feats.reshape(n_groups * gc, 10, -1)
+            return feats.reshape(n_groups * gc, self.n_crops, -1)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -203,7 +220,12 @@ class FeatureExtractor:
         saturate (standard symmetric int8 behavior).
         """
         from ..models.i3d import calibrate_act_scales
-        from ..ops.gtransforms import loop_pad_indices, standardize, ten_crop
+        from ..ops.gtransforms import (
+            center_crop,
+            loop_pad_indices,
+            standardize,
+            ten_crop,
+        )
         from ..ops.resize import resize_bilinear_exact, short_side_size
 
         n_frames = int(min(frames.shape[0], 4 * self.frames_per_clip))
@@ -212,11 +234,14 @@ class FeatureExtractor:
             sample.shape[1], sample.shape[2], self.resize
         )
         resized = resize_bilinear_exact(sample, out_h, out_w)
-        crops = ten_crop(resized, self.cropsize)  # (10, n, c, c, C) uint8
+        if self.n_crops == 1:
+            crops = center_crop(resized, self.cropsize)[None]
+        else:
+            crops = ten_crop(resized, self.cropsize)  # (10, n, c, c, C) uint8
         clip_idx = jnp.asarray(
             loop_pad_indices(n_frames, self.frames_per_clip)
         )
-        clips = crops[:, clip_idx]  # (10, n_clips, fpc, c, c, C)
+        clips = crops[:, clip_idx]  # (n_crops, n_clips, fpc, c, c, C)
         if self.stream == "flow":
             # uint8 flow dequantizes back to [-1, 1] (data/flow.py contract)
             clips = clips.astype(jnp.float32) / 127.5 - 1.0
@@ -225,8 +250,8 @@ class FeatureExtractor:
         n = clips.shape[1]
         batch = jnp.reshape(
             clips,
-            (n * 10, self.frames_per_clip, self.cropsize, self.cropsize,
-             self.channels),
+            (n * self.n_crops, self.frames_per_clip, self.cropsize,
+             self.cropsize, self.channels),
         )
         scales = calibrate_act_scales(self.model, self.variables, batch)
         self._apply_scales(scales)

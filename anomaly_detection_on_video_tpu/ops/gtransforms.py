@@ -69,6 +69,19 @@ def ten_crop(frames: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     return jnp.stack(crops, axis=0)
 
 
+def center_crop(frames: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """``(..., H, W, C) -> (..., size, size, C)`` center crop.
+
+    Identical to crop index 4 of :func:`ten_crop` (torchvision order), so a
+    center-crop pipeline produces exactly the ten-crop pipeline's fifth
+    feature row at a tenth of the compute — the serving-mode trade
+    (data/extraction.py ``crops="center"``).
+    """
+    height, width = frames.shape[-3], frames.shape[-2]
+    top, left = ten_crop_positions(height, width, size)[4]
+    return frames[..., top : top + size, left : left + size, :]
+
+
 def standardize(x: jnp.ndarray, mean: float = MEAN, std: float = STD) -> jnp.ndarray:
     """Float standardization, (x - 114.75) / 57.375 per channel.
 

@@ -252,6 +252,33 @@ def main() -> None:
             record["int8_feature_cosine_vs_bf16"] = round(cos, 6)
         except Exception as exc:
             print(f"warning: int8 bench failed: {exc}", file=sys.stderr)
+    if "--no-center" not in sys.argv:
+        # serving mode (infer.py --crops center): one center crop per clip
+        # instead of the reference ten-crop protocol — identical math to
+        # ten-crop row 4 (tests/test_extraction.py) at a tenth of the FLOPs
+        try:
+            n2 = 240
+            frames2 = rng.randint(
+                0, 256, (n2 * 16, 240, 320, 3), np.uint8
+            )
+            center = FeatureExtractor(
+                dtype=jnp.bfloat16, variables=extractor.variables,
+                crops="center",
+            )
+            center.extract_frames(frames2)  # compile
+            x2 = jax.device_put(center.pad_frames(frames2))
+            for _ in range(3):
+                c = center._extract(center.variables, x2)
+            float(jnp.sum(c[0]))
+            t0 = time.time()
+            for _ in range(reps):
+                c = center._extract(center.variables, x2)
+            float(jnp.sum(c[0]))
+            record["center_crop_clips_per_sec"] = round(
+                reps * n2 / (time.time() - t0), 2
+            )
+        except Exception as exc:
+            print(f"warning: center-crop bench failed: {exc}", file=sys.stderr)
     if "--no-e2e" not in sys.argv:
         try:
             e2e = bench_e2e(extractor)

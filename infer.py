@@ -154,17 +154,20 @@ def build_scorer(args):
 
 
 def score_features(features, apply_fn, variables, eval_step):
-    """(n_clips, 10, 2048) f32 features -> (n_clips,) anomaly scores."""
+    """(n_clips, n_crops, 2048) f32 features -> (n_clips,) anomaly scores.
+
+    n_crops is 10 under the reference protocol, 1 in --crops center
+    serving mode; the scorers crop-average over whatever is there."""
     import jax.numpy as jnp
 
     from anomaly_detection_on_video_tpu.data.features import add_magnitude
     from anomaly_detection_on_video_tpu.training.runner import eval_bucket
 
-    n_clips = features.shape[0]
+    n_clips, n_crops = features.shape[:2]
     bucket = eval_bucket(n_clips)
-    feats = np.zeros((1, 10, bucket, features.shape[-1] + 1), np.float32)
-    # (n, 10, C+1) -> (10, n, C+1), zero-padded to the bucket (masked by the
-    # model's length argument — bit-exact vs unpadded, see models/mgfn)
+    feats = np.zeros((1, n_crops, bucket, features.shape[-1] + 1), np.float32)
+    # (n, crops, C+1) -> (crops, n, C+1), zero-padded to the bucket (masked
+    # by the model's length argument — bit-exact vs unpadded, see models/mgfn)
     feats[0, :, :n_clips] = add_magnitude(features).transpose(1, 0, 2)
     scores = eval_step(
         variables, apply_fn, jnp.asarray(feats),
@@ -200,6 +203,11 @@ def main(argv=None) -> None:
                              "path (calibrated on the first video's chunk, "
                              "~1e-5 feature cosine error)")
     parser.add_argument("--batch", type=int, default=240)
+    parser.add_argument("--crops", default="ten", choices=["ten", "center"],
+                        help="'ten' = the reference ten-crop protocol; "
+                             "'center' = serving mode, one center crop per "
+                             "clip (~10x device throughput; scores equal "
+                             "running the scorer on ten-crop row 4)")
     parser.add_argument("--features-dir", default=None,
                         help="cache/reuse <stem>_i3d.npy features here")
     parser.add_argument("--frames-per-clip", type=int, default=16)
@@ -239,7 +247,15 @@ def main(argv=None) -> None:
         quantize=(args.dtype == "int8"),
         batch=args.batch,
         frames_per_clip=args.frames_per_clip,
+        crops=args.crops,
     )
+    if args.crops == "center" and args.features_dir:
+        print(
+            "warning: --features-dir with --crops center caches "
+            "(n_clips, 1, 2048) features — reusable by infer.py but NOT "
+            "the reference ten-crop training contract",
+            file=sys.stderr,
+        )
     apply_fn, variables, eval_step, model_name = build_scorer(args)
 
     def process(path):

@@ -434,3 +434,27 @@ def test_flow_backend_pinned_per_outdir(tmp_path):
     record_flow_backend(outdir, "host")  # same backend resumes fine
     with pytest.raises(ValueError, match="host.*device|device.*host"):
         record_flow_backend(outdir, "device")
+
+
+def test_center_crop_features_equal_ten_crop_row4(rng):
+    """crops="center" (the serving mode) must produce exactly the ten-crop
+    pipeline's fifth feature row: same resize, crop 4, same forward."""
+    frames = rng.randint(0, 256, (2 * 16, 48, 64, 3), np.uint8)
+    kw = dict(dtype=jnp.float32, resize=64, cropsize=56)
+    ten = FeatureExtractor(**kw, batch=20)
+    # batch=20 keeps the device conv batch identical to the ten-crop run
+    # (2 clips x 10 crops), making the comparison bit-exact; a different
+    # batch only changes XLA's accumulation order (~1e-7)
+    center = FeatureExtractor(
+        **kw, batch=20, crops="center", variables=ten.variables
+    )
+    assert center.n_crops == 1
+    out10 = ten.extract_frames(frames)
+    out1 = center.extract_frames(frames)
+    assert out1.shape == (2, 1, 2048)
+    np.testing.assert_array_equal(out1, out10[:, 4:5])
+
+
+def test_center_crop_rejects_unknown():
+    with pytest.raises(ValueError, match="crops"):
+        FeatureExtractor(dtype=jnp.float32, crops="five")

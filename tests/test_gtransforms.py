@@ -119,3 +119,16 @@ def test_preprocess_frames_matches_oracle(rng):
     golden = oracle_preprocess(frames)
     assert ours.shape == golden.shape == (2, 10, 16, 224, 224, 3)
     np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
+def test_center_crop_is_ten_crop_row4(rng):
+    from anomaly_detection_on_video_tpu.ops.gtransforms import (
+        center_crop,
+        ten_crop,
+    )
+
+    frames = rng.randint(0, 256, (3, 57, 71, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(center_crop(frames, 32)),
+        np.asarray(ten_crop(frames, 32))[4],
+    )
