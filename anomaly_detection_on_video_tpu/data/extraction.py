@@ -92,7 +92,16 @@ class FeatureExtractor:
         # crops per chip. With a mesh the clip axis shards over devices
         # (SURVEY.md §2.2 SP/CP row: clips are independent, the natural
         # extraction parallel axis), so groups grow by the mesh size.
-        self.group_clips = max(1, batch // self.n_crops) * n_shards
+        if self.n_crops == 1:
+            # every video pads to a multiple of group_clips, so batch//1
+            # would make a short serving clip pay a full 240-clip group.
+            # batch//4 sits at the measured knee (v5e, B=240 default ->
+            # 60-clip groups): 966 clips/s @ gc24, 1155 @ gc60,
+            # 1589 @ gc120, 1643 @ gc240 — 70% of peak at 1/4 the padding
+            # granularity. Pass a larger ``batch`` for peak throughput.
+            self.group_clips = max(1, batch // 4) * n_shards
+        else:
+            self.group_clips = max(1, batch // self.n_crops) * n_shards
         self.batch = self.group_clips * self.n_crops
         self.frames_per_clip = frames_per_clip
         self.resize = resize
@@ -267,6 +276,7 @@ class FeatureExtractor:
         self.model = build_i3d_feature_extractor(
             self._model_name, dtype=self._dtype, act_scales=scales
         )
+        self._act_scales = dict(scales)
         self._build_pipeline()
         self._needs_calibration = False
 
@@ -285,15 +295,30 @@ class FeatureExtractor:
         """
         if not self.quantize:
             return
+        import json
+
         os.makedirs(outdir, exist_ok=True)
         self._calibration_path = os.path.join(
             outdir, f"act_scales_{self.stream}.json"
         )
         if os.path.exists(self._calibration_path):
-            import json
-
             with open(self._calibration_path) as f:
-                self._apply_scales(json.load(f))
+                scales = json.load(f)
+            # skip the model rebuild + pipeline re-jit (minutes of TPU
+            # compile) when these exact scales are already applied — e.g.
+            # the leader pass that just calibrated and wrote this sidecar
+            if self._needs_calibration or scales != getattr(
+                self, "_act_scales", None
+            ):
+                self._apply_scales(scales)
+        elif not self._needs_calibration:
+            # calibrated elsewhere (e.g. a previous split's outdir): pin
+            # the ALREADY-APPLIED scales here so this directory keeps the
+            # one-quantization guarantee for resumed runs
+            tmp = self._calibration_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._act_scales, f)
+            os.replace(tmp, self._calibration_path)
 
     def pad_frames(self, frames: np.ndarray) -> np.ndarray:
         """Host-side loop-pad + group-pad of the raw uint8 frames.

@@ -261,9 +261,12 @@ def main() -> None:
             frames2 = rng.randint(
                 0, 256, (n2 * 16, 240, 320, 3), np.uint8
             )
+            # batch=960 -> 240-clip groups: the peak-throughput setting
+            # (serving defaults group 4x smaller to bound short-video
+            # padding; see FeatureExtractor)
             center = FeatureExtractor(
                 dtype=jnp.bfloat16, variables=extractor.variables,
-                crops="center",
+                crops="center", batch=960,
             )
             center.extract_frames(frames2)  # compile
             x2 = jax.device_put(center.pad_frames(frames2))

@@ -7,6 +7,9 @@ The reference can only demonstrate this against its published UCF-Crime
 features (src/dataset.py:20-21); this is the air-gapped equivalent.
 """
 
+import os
+import sys
+
 import numpy as np
 import pytest
 
@@ -17,15 +20,18 @@ from anomaly_detection_on_video_tpu.data.synthetic import (
 from anomaly_detection_on_video_tpu.models import build_model
 from anomaly_detection_on_video_tpu.training import VideoAnomalyDetectionRunner
 
-DIM = 64
-CONFIGS = {
-    "mgfn": dict(channels=DIM, dims=(32, 64, 128), depths=(2, 2, 1), dim_head=16),
-    "rtfm": dict(channels=DIM, hidden_dims=(64, 32), margin=4.0),
-    "sultani": dict(channels=DIM, hidden_dims=(64, 32), dropout_rate=0.3),
-}
-# the ranking hinge needs a larger step at this scale (see
-# scripts/convergence_bench.py: 5e-4 is still climbing at epoch 16)
-LEARNING_RATES = {"sultani": 2e-3}
+# the bench script owns the model configs + per-model learning rates; the
+# test asserting the same property must measure the same training setup
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts"),
+)
+from convergence_bench import (  # noqa: E402
+    DIM,
+    LEARNING_RATES,
+    MODELS as CONFIGS,
+)
 
 
 class _Capture:

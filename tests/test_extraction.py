@@ -442,12 +442,13 @@ def test_center_crop_features_equal_ten_crop_row4(rng):
     frames = rng.randint(0, 256, (2 * 16, 48, 64, 3), np.uint8)
     kw = dict(dtype=jnp.float32, resize=64, cropsize=56)
     ten = FeatureExtractor(**kw, batch=20)
-    # batch=20 keeps the device conv batch identical to the ten-crop run
-    # (2 clips x 10 crops), making the comparison bit-exact; a different
-    # batch only changes XLA's accumulation order (~1e-7)
+    # batch=80 -> 20-clip center groups: the device conv batch matches the
+    # ten-crop run (2 clips x 10 crops), making the comparison bit-exact;
+    # a different batch only changes XLA's accumulation order (~1e-7)
     center = FeatureExtractor(
-        **kw, batch=20, crops="center", variables=ten.variables
+        **kw, batch=80, crops="center", variables=ten.variables
     )
+    assert center.group_clips == 20
     assert center.n_crops == 1
     out10 = ten.extract_frames(frames)
     out1 = center.extract_frames(frames)
@@ -458,3 +459,40 @@ def test_center_crop_features_equal_ten_crop_row4(rng):
 def test_center_crop_rejects_unknown():
     with pytest.raises(ValueError, match="crops"):
         FeatureExtractor(dtype=jnp.float32, crops="five")
+
+
+def test_pin_calibration_skips_rebuild_on_matching_sidecar(rng, tmp_path):
+    """Re-pinning a directory whose sidecar holds the already-applied
+    scales must not rebuild the model / re-jit the pipeline (minutes of
+    TPU compile in production) — the leader-pass pattern in the multihost
+    int8 sweep."""
+    frames = rng.randint(0, 256, (2 * 16, 48, 64, 3), np.uint8)
+    kw = dict(dtype=jnp.float32, batch=10, resize=64, cropsize=56)
+    variables = FeatureExtractor(**kw).variables
+
+    ex = FeatureExtractor(**kw, variables=variables, quantize=True)
+    ex.pin_calibration(str(tmp_path))
+    ex.extract_frames(frames)  # calibrates + writes the sidecar
+    model_before = ex.model
+    ex.pin_calibration(str(tmp_path))  # the redundant re-entry
+    assert ex.model is model_before
+
+
+def test_pin_calibration_writes_sidecar_when_precalibrated(rng, tmp_path):
+    """An extractor calibrated elsewhere (e.g. a previous split's outdir)
+    must still pin its APPLIED scales into a fresh directory, keeping the
+    one-quantization-per-directory guarantee for resumed runs."""
+    import json
+
+    frames = rng.randint(0, 256, (2 * 16, 48, 64, 3), np.uint8)
+    kw = dict(dtype=jnp.float32, batch=10, resize=64, cropsize=56)
+    variables = FeatureExtractor(**kw).variables
+
+    ex = FeatureExtractor(**kw, variables=variables, quantize=True)
+    ex.extract_frames(frames)  # calibrates unpinned
+    assert not ex._needs_calibration
+    second = tmp_path / "second_split"
+    ex.pin_calibration(str(second))
+    sidecar = second / "act_scales_rgb.json"
+    assert sidecar.exists()
+    assert json.loads(sidecar.read_text()) == ex._act_scales
