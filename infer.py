@@ -212,6 +212,11 @@ def main(argv=None) -> None:
                              "ten-crop)")
     parser.add_argument("--features-dir", default=None,
                         help="cache/reuse <stem>_i3d.npy features here")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the clip axis of feature extraction "
+                             "over all local devices (serving analog of "
+                             "extract_features.py --data-parallel; scores "
+                             "are bit-equal to single-device)")
     parser.add_argument("--frames-per-clip", type=int, default=16)
     parser.add_argument("--figure", action="store_true",
                         help="write a <stem>_scores.png overlay per video")
@@ -242,6 +247,15 @@ def main(argv=None) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from extract_features import load_weights
 
+    import jax
+
+    mesh = None
+    if args.data_parallel and len(jax.local_devices()) > 1:
+        from anomaly_detection_on_video_tpu.parallel import make_mesh
+
+        devices = jax.local_devices()
+        mesh = make_mesh((len(devices),), ("data",), devices)
+
     extractor = FeatureExtractor(
         model_name=args.i3d_model,
         variables=load_weights(args.i3d_weights, args.i3d_model),
@@ -250,6 +264,7 @@ def main(argv=None) -> None:
         batch=args.batch,
         frames_per_clip=args.frames_per_clip,
         crops=args.crops,
+        mesh=mesh,
     )
     if args.dtype == "int8":
         # pin calibration scales so watcher restarts / later runs quantize

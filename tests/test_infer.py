@@ -1,0 +1,94 @@
+"""In-process infer CLI tests: serving modes cheap enough to skip subprocess.
+
+The heavyweight end-to-end CLI runs live in tests/test_integration.py; these
+exercise serving-mode wiring (mesh-sharded extraction, center-crop) directly
+through infer.main on the conftest's 8 virtual CPU devices.
+"""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def write_video(path, n_frames=40, size=(64, 48), seed=0):
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"MJPG"), 30, size
+    )
+    assert writer.isOpened()
+    for _ in range(n_frames):
+        writer.write(rng.randint(0, 255, (size[1], size[0], 3), np.uint8))
+    writer.release()
+
+
+def make_sultani_checkpoint(ckpt_dir):
+    """Tiny-width Sultani checkpoint over the real 2048-d feature interface,
+    self-describing (hparams.json) so infer needs no --model-config flags."""
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    _, model = build_model("sultani", hidden_dims=(16, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 32, 2049), jnp.float32),
+        train=True,
+    )
+    ckpt = TopKCheckpointer(str(ckpt_dir))
+    ckpt.save(
+        step=1,
+        state=TrainState.create(model, variables, adam_with_l2()),
+        metric=0.5,
+    )
+    ckpt.wait()
+    ckpt.write_metadata(
+        {
+            "model_name": "sultani",
+            "model_config": {"hidden_dims": [16, 8]},
+        }
+    )
+
+
+def test_infer_main_data_parallel_center_crop(tmp_path):
+    """infer.py --data-parallel --crops center: the clip axis of extraction
+    shards over the 8-device mesh (serving analog of extract_features.py
+    --data-parallel) and the center-crop serving mode scores end to end."""
+    import infer
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    write_video(videos / "Abuse_demo.avi", n_frames=40)
+    make_sultani_checkpoint(tmp_path / "ckpts")
+
+    outdir = tmp_path / "scores"
+    infer.main(
+        [
+            "--videos", str(videos),
+            "--checkpoint", str(tmp_path / "ckpts"),
+            "--outdir", str(outdir),
+            "--dtype", "float32",
+            "--crops", "center",
+            "--batch", "1",
+            "--data-parallel",
+            "--features-dir", str(tmp_path / "feats"),
+        ]
+    )
+    out = json.loads((outdir / "Abuse_demo_scores.json").read_text())
+    assert out["n_clips"] == 3  # 40 frames -> 3 x 16-frame clips (loop-pad)
+    assert len(out["frame_scores"]) == 3 * 16
+    assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
+    # center-crop features carry their own cache name, (n, 1, 2048)
+    feats = np.load(tmp_path / "feats" / "Abuse_demo_i3d_center.npy")
+    assert feats.shape == (3, 1, 2048)
