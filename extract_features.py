@@ -121,9 +121,21 @@ def main(argv=None) -> None:
                              "--process-id)")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--compile-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache directory: "
+                             "repeated sweeps reuse compiled executables "
+                             "instead of recompiling "
+                             "(utils/compile_cache.py)")
     args = parser.parse_args(argv)
     if args.multihost and args.hf_dataset:
         parser.error("--multihost supports --videos local mode only")
+
+    if args.compile_cache:
+        from anomaly_detection_on_video_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache(args.compile_cache)
 
     import jax
     import jax.numpy as jnp

@@ -212,6 +212,11 @@ def main(argv=None) -> None:
                              "ten-crop)")
     parser.add_argument("--features-dir", default=None,
                         help="cache/reuse <stem>_i3d.npy features here")
+    parser.add_argument("--compile-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache directory: "
+                             "serving restarts (--watch) and repeated runs "
+                             "reuse compiled executables instead of "
+                             "recompiling (utils/compile_cache.py)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the clip axis of feature extraction "
                              "over all local devices (serving analog of "
@@ -235,6 +240,13 @@ def main(argv=None) -> None:
     if not videos and not args.watch:
         raise SystemExit(f"no videos match {args.videos!r}")
     os.makedirs(args.outdir, exist_ok=True)
+
+    if args.compile_cache:
+        from anomaly_detection_on_video_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache(args.compile_cache)
 
     import jax.numpy as jnp
 

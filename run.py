@@ -63,6 +63,12 @@ def main(argv=None) -> None:
     # feeds the same deterministic batches and the train step globalizes
     # them onto the mesh (training/runner.make_train_step).
     trainer_cfg = cfg.get("trainer", {})
+    if trainer_cfg.get("compile_cache"):
+        from anomaly_detection_on_video_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache(trainer_cfg["compile_cache"])
     if trainer_cfg.get("multihost"):
         from anomaly_detection_on_video_tpu.parallel import initialize_multihost
 
@@ -197,6 +203,7 @@ def main(argv=None) -> None:
         eval_every=int(trainer_cfg.get("eval_every", 1)),
         frames_per_clip=int(data_cfg.get("frames_per_clip", 16)),
         figure_dir=trainer_cfg.get("figure_dir") if is_primary else None,
+        handle_signals=tuple(trainer_cfg.get("preempt_signals") or ()),
     )
     if result is not None and is_primary:
         print(f"final valid/rec_auc={result.rec_auc:.4f} valid/pr_auc={result.pr_auc:.4f}")

@@ -186,6 +186,77 @@ def test_run_cli_tensor_parallel(tmp_path):
     assert "valid/rec_auc=" in result.stdout
 
 
+@pytest.mark.slow
+def test_run_cli_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training = graceful preemption: the step finishes, a
+    final checkpoint is written, the process exits 0, and a resume run
+    continues from the preemption step (trainer.preempt_signals)."""
+    import signal
+    import time
+
+    rng = np.random.RandomState(0)
+    seg_dir = tmp_path / "segments"
+    test_dir = tmp_path / "test"
+    seg_dir.mkdir()
+    test_dir.mkdir()
+    gt = {}
+    for i in range(4):
+        prefix = "Normal_Videos" if i % 2 == 0 else "Abuse"
+        name = f"{prefix}{i:03d}_x264_i3d.npy"
+        np.save(seg_dir / name, rng.randn(10, 32, 2048).astype(np.float32))
+        np.save(test_dir / name, rng.randn(3, 10, 2048).astype(np.float32))
+        gt[name[:-8]] = [0.0 if i % 2 == 0 else 1.0] * (3 * 16)
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+
+    run_dir = tmp_path / "run"
+    cli_args = [
+        "runner=mgfn",
+        f"data.train_path={seg_dir}",
+        f"data.test_path={test_dir}",
+        f"data.ground_truth_path={gt_path}",
+        "data.batch_size=2",
+        f"trainer.log_path={run_dir}/metrics.jsonl",
+        f"trainer.checkpoint.dirpath={run_dir}/ckpt",
+        "trainer.eval_every=1000",  # preemption must not wait on an eval
+        "runner.model_config.dims=[16,16,32]",
+        "runner.model_config.depths=[1,1,1]",
+        "runner.model_config.dim_head=8",
+    ]
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "trainer.max_epochs=100000", *cli_args],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=ENV, cwd=REPO,
+    )
+    # wait for the first logged train step (the signal handler is installed
+    # at fit() entry, before step 1), then preempt
+    metrics_path = run_dir / "metrics.jsonl"
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        if metrics_path.exists() and "train_loss" in metrics_path.read_text():
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(1.0)
+    proc.send_signal(signal.SIGTERM)
+    stdout, stderr = proc.communicate(timeout=600)
+    assert proc.returncode == 0, f"STDOUT:{stdout}\nSTDERR:{stderr}"
+    assert "checkpoint saved at step" in stdout
+    records = [json.loads(l) for l in open(metrics_path)]
+    preempt = [r for r in records if "preempted_at_step" in r]
+    assert preempt and preempt[-1]["preempted_at_step"] >= 1
+    assert any(os.scandir(run_dir / "ckpt"))
+
+    # resume continues step numbering from the preemption checkpoint
+    result = run_cli(
+        "run.py", "trainer.max_epochs=1", "trainer.resume=true", *cli_args
+    )
+    assert "resumed from step" in result.stdout
+    resumed = int(result.stdout.split("resumed from step")[1].split()[0])
+    assert resumed == preempt[-1]["preempted_at_step"]
+
+
 def test_run_cli_requires_model_selection():
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, "run.py")],
@@ -253,7 +324,10 @@ def test_infer_cli_end_to_end(tmp_path):
         "--dtype", "float32",
         "--batch", "10",
         "--figure",
+        "--compile-cache", str(tmp_path / "xla_cache"),
     )
+    # the persistent compilation cache captured this process's executables
+    assert any((tmp_path / "xla_cache").iterdir())
     out = json.loads((outdir / "Abuse_demo_scores.json").read_text())
     assert out["n_clips"] == 3  # 40 frames -> 3 x 16-frame clips (loop-pad)
     assert len(out["frame_scores"]) == 3 * 16
