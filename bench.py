@@ -172,11 +172,37 @@ def bench_e2e(extractor, n_videos: int = 4, frames_per_video: int = 640):
         return record
 
 
+def wait_for_device(max_wait_s: float = 1800.0, poll_s: float = 60.0):
+    """Retry backend init until a device answers (or max_wait_s elapses).
+
+    The axon TPU tunnel goes down transiently for minutes-to-hours
+    (raising UNAVAILABLE from jax.devices()); a bench launched into an
+    outage should wait it out rather than die without a number.
+    """
+    import jax
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            return jax.devices()
+        except Exception as exc:  # backend init failures are RuntimeErrors
+            if time.time() >= deadline:
+                raise
+            print(
+                f"device backend unavailable ({exc}); retrying in "
+                f"{poll_s:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(poll_s)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from anomaly_detection_on_video_tpu.data.extraction import FeatureExtractor
+
+    wait_for_device()
 
     # 240x320 frames (the dominant UCF-Crime resolution); 94 clips per chunk
     n_clips = 94
