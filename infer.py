@@ -286,6 +286,9 @@ def main(argv=None) -> None:
     apply_fn, variables, eval_step, model_name = build_scorer(args)
 
     def process(path):
+        import time as _time
+
+        t0 = _time.time()
         stem = os.path.splitext(os.path.basename(path))[0]
         # center-crop features get their own cache name: they are (n, 1, C)
         # and must neither shadow nor be shadowed by the reference
@@ -320,6 +323,7 @@ def main(argv=None) -> None:
             "frames_per_clip": args.frames_per_clip,
             "clip_scores": np.round(clip_scores, 6).tolist(),
             "frame_scores": np.round(frame_scores, 6).tolist(),
+            "latency_s": round(_time.time() - t0, 3),
         }
         out_path = os.path.join(args.outdir, f"{stem}_scores.json")
         with open(out_path, "w") as f:
@@ -344,6 +348,7 @@ def main(argv=None) -> None:
             fig.tight_layout()
             fig.savefig(os.path.join(args.outdir, f"{stem}_scores.png"), dpi=80)
             plt.close(fig)
+        return out
 
     if not args.watch:
         for path in videos:
@@ -369,6 +374,27 @@ def main(argv=None) -> None:
                 return False
         return False
 
+    # serving heartbeat: counters written atomically to
+    # <outdir>/_serving_stats.json every poll, so an operator (or a probe)
+    # can monitor a long-running watcher without parsing its stdout
+    stats = {
+        "started_unix": round(time.time(), 1),
+        "videos_scored": 0,
+        "clips_scored": 0,
+        "errors": 0,
+    }
+
+    def write_stats(n_watching):
+        snap = dict(
+            stats,
+            watching=n_watching,
+            uptime_s=round(time.time() - stats["started_unix"], 1),
+        )
+        tmp = os.path.join(args.outdir, "_serving_stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, os.path.join(args.outdir, "_serving_stats.json"))
+
     last_sizes = {}
     last_new = time.time()
     print(
@@ -387,8 +413,13 @@ def main(argv=None) -> None:
             if scored(path, size) or last_sizes.get(path) != size:
                 continue  # done already, new this poll, or still growing
             try:
-                process(path)
+                res = process(path)
+                stats["videos_scored"] += 1
+                stats["clips_scored"] += res["n_clips"]
+                stats["last_video"] = res["video"]
+                stats["last_latency_s"] = res["latency_s"]
             except Exception as exc:  # one bad file must not kill serving
+                stats["errors"] += 1
                 print(f"warning: {path}: {exc}", file=sys.stderr)
                 stem = os.path.splitext(os.path.basename(path))[0]
                 # never touch <stem>_scores.json (a late failure, e.g. in
@@ -411,6 +442,7 @@ def main(argv=None) -> None:
                         )
             last_new = time.time()
         last_sizes = sizes
+        write_stats(len(sizes))
         if args.idle_exit is not None and time.time() - last_new > args.idle_exit:
             print("idle; exiting watch loop", flush=True)
             return

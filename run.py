@@ -136,10 +136,11 @@ def main(argv=None) -> None:
             ckpt_cfg["dirpath"],
             top_k=int(ckpt_cfg.get("save_top_k", 10)),
         )
-        if is_primary:
+        if is_primary and not trainer_cfg.get("eval_only"):
             # self-describing checkpoints (role of the reference's
             # save_hyperparameters, src/runner.py:23): infer.py rebuilds
             # the model from this without --model-config flags
+            # (eval_only reads a checkpoint, it must not rewrite its hparams)
             checkpointer.write_metadata(
                 {
                     "model_name": cfg.get("_choices_", {}).get("runner"),
@@ -172,12 +173,53 @@ def main(argv=None) -> None:
             dynamic_load=bool(data_cfg.get("dynamic_load", False)),
         )
 
-    train_datasets = build_feature_dataset("train", **data_kwargs("train"))
     valid_dataset = build_feature_dataset(
         "test",
         ground_truth_path=data_cfg.get("ground_truth_path"),
         **data_kwargs("test"),
     )
+
+    if trainer_cfg.get("eval_only"):
+        # evaluate a checkpoint's frame-level AUC on the test split without
+        # touching (or requiring) train features — e.g. to score converted
+        # official weights. No reference counterpart (its runner only
+        # evaluates inside fit, src/runner.py:42-90).
+        import json
+
+        import numpy as np
+
+        from anomaly_detection_on_video_tpu.training.runner import evaluate
+
+        if checkpointer is None:
+            raise SystemExit(
+                "trainer.eval_only=true requires trainer.checkpoint.dirpath"
+            )
+        channels = getattr(model_config, "channels", 2048)
+        runner.init_state(np.zeros((2, 10, 32, channels + 1), np.float32))
+        runner.restore(checkpointer.restore_latest(runner.state))
+        if int(runner.state.step) == 0:
+            print(
+                "warning: no checkpoint found — evaluating random weights",
+                file=sys.stderr,
+            )
+        result = evaluate(
+            runner.state,
+            valid_dataset,
+            int(data_cfg.get("frames_per_clip", 16)),
+            runner._eval_step,
+            batch_videos=runner.eval_batch_videos,
+            pad_groups=True,
+        )
+        metrics = {
+            "step": int(runner.state.step),
+            "valid/rec_auc": result.rec_auc,
+            "valid/pr_auc": result.pr_auc,
+        }
+        runner._log(metrics, int(runner.state.step))
+        print(json.dumps(metrics))
+        return
+
+    train_datasets = build_feature_dataset("train", **data_kwargs("train"))
 
     if trainer_cfg.get("resume") and checkpointer is not None:
         # initialize state from an example batch, then restore the latest

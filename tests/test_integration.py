@@ -145,6 +145,25 @@ def test_full_pipeline(tmp_path):
     assert hparams["model_name"] == "mgfn"
     assert hparams["model_config"]["dims"] == [16, 16, 32]
 
+    # 4. eval-only mode: score the trained checkpoint on the test split
+    # without train features (train_path points nowhere on purpose)
+    result = run_cli(
+        "run.py",
+        "runner=mgfn",
+        "trainer.eval_only=true",
+        f"data.test_path={test_dir}",
+        f"data.ground_truth_path={gt_path}",
+        f"trainer.checkpoint.dirpath={run_dir}/ckpt",
+        "trainer.log_path=",
+        "runner.model_config.dims=[16,16,32]",
+        "runner.model_config.depths=[1,1,1]",
+        "runner.model_config.dim_head=8",
+    )
+    eval_line = json.loads(result.stdout.strip().splitlines()[-1])
+    assert eval_line["step"] >= 1
+    assert 0.0 <= eval_line["valid/rec_auc"] <= 1.0
+    assert 0.0 <= eval_line["valid/pr_auc"] <= 1.0
+
 
 @pytest.mark.slow
 def test_run_cli_tensor_parallel(tmp_path):
@@ -408,6 +427,16 @@ def test_infer_cli_watch_mode(tmp_path):
     assert len(first["frame_scores"]) == 2 * 16  # ceil(20/16) clips
     assert len(second["frame_scores"]) == 3 * 16
     assert all(0.0 <= s <= 1.0 for s in second["frame_scores"])
+    assert first["latency_s"] > 0
+
+    # serving heartbeat: written atomically every poll
+    stats = json.loads((outdir / "_serving_stats.json").read_text())
+    assert stats["videos_scored"] == 2
+    assert stats["clips_scored"] == 2 + 3
+    assert stats["errors"] == 0
+    assert stats["watching"] == 2
+    assert stats["last_latency_s"] > 0
+    assert stats["uptime_s"] > 0
 
 
 @pytest.mark.slow
