@@ -15,7 +15,15 @@ masking — and writes per-video score JSON (plus optional overlay figures).
 directory is polled and every new video is scored as soon as its file
 size is stable across two polls (i.e. the producer finished writing).
 Scoring is idempotent (a video with an existing score JSON is skipped), so
-the watcher can be restarted at any time.
+the watcher can be restarted at any time. A ``_serving_stats.json``
+heartbeat is written every poll.
+
+``--serve PORT`` is the push-based alternative: an HTTP endpoint (stdlib)
+where POST /score?name=v.mp4 with raw video bytes returns the score JSON,
+with /healthz, /stats and /scores/<stem> alongside:
+
+    python infer.py --checkpoint ckpts/ --outdir scores --serve 8080 \
+        --crops center --compile-cache /var/xla_cache
 
 Checkpoints: an orbax directory written by run.py (``--checkpoint``), or a
 torch MGFN state dict (``--torch-weights``, HF layout; ``--official`` for
@@ -176,10 +184,149 @@ def score_features(features, apply_fn, variables, eval_step):
     return np.asarray(scores)[0, :n_clips, 0]
 
 
+def serve_http(args, process) -> None:
+    """HTTP scoring endpoint (``--serve PORT``), stdlib only.
+
+    Routes:
+      POST /score?name=<file>   raw video bytes -> score JSON (idempotent:
+                                an already-scored stem returns its cached
+                                JSON without re-extracting)
+      GET  /scores/<stem>       previously written score JSON
+      GET  /healthz             liveness (responds during scoring)
+      GET  /stats               counters + last latency + uptime
+
+    Scoring requests serialize on one lock (one device queue); healthz and
+    stats are served from other threads so liveness probes don't time out
+    behind a long video. SIGTERM/SIGINT finish the in-flight request and
+    shut down cleanly — the serving analog of the trainer's
+    preempt_signals.
+    """
+    import signal
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, unquote, urlparse
+
+    import jax
+
+    score_lock = threading.Lock()
+    stats = {
+        "started_unix": round(time.time(), 1),
+        "videos_scored": 0,
+        "clips_scored": 0,
+        "errors": 0,
+    }
+    spool = os.path.join(args.outdir, "_spool")
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # requests go to stdout, one line
+            print(f"{self.address_string()} {fmt % a}", flush=True)
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                return self._json(
+                    200,
+                    {
+                        "ok": True,
+                        "device": jax.devices()[0].platform,
+                        "scoring": score_lock.locked(),
+                    },
+                )
+            if path == "/stats":
+                return self._json(
+                    200,
+                    dict(
+                        stats,
+                        uptime_s=round(
+                            time.time() - stats["started_unix"], 1
+                        ),
+                    ),
+                )
+            if path.startswith("/scores/"):
+                stem = os.path.basename(unquote(path[len("/scores/"):]))
+                score_path = os.path.join(
+                    args.outdir, f"{stem}_scores.json"
+                )
+                if os.path.exists(score_path):
+                    with open(score_path) as f:
+                        return self._json(200, json.load(f))
+                return self._json(404, {"error": f"{stem} not scored"})
+            return self._json(404, {"error": f"unknown path {path!r}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/score":
+                return self._json(404, {"error": f"unknown path {url.path!r}"})
+            name = os.path.basename(
+                parse_qs(url.query).get("name", ["upload.mp4"])[0]
+            )
+            stem = os.path.splitext(name)[0]
+            score_path = os.path.join(args.outdir, f"{stem}_scores.json")
+            if os.path.exists(score_path):
+                with open(score_path) as f:
+                    return self._json(200, json.load(f))
+            length = int(self.headers.get("Content-Length") or 0)
+            if length <= 0:
+                return self._json(400, {"error": "empty request body"})
+            data = self.rfile.read(length)
+            os.makedirs(spool, exist_ok=True)
+            video_path = os.path.join(spool, name)
+            with open(video_path, "wb") as f:
+                f.write(data)
+            try:
+                with score_lock:
+                    res = process(video_path)
+                    stats["videos_scored"] += 1
+                    stats["clips_scored"] += res["n_clips"]
+                    stats["last_video"] = res["video"]
+                    stats["last_latency_s"] = res["latency_s"]
+                return self._json(200, res)
+            except Exception as exc:  # one bad upload must not kill serving
+                stats["errors"] += 1
+                return self._json(500, {"error": str(exc)})
+            finally:
+                try:
+                    os.remove(video_path)
+                except OSError:
+                    pass
+
+    server = ThreadingHTTPServer((args.serve_host, args.serve), Handler)
+    server.daemon_threads = True
+
+    def _shutdown(signum, frame):
+        print(f"signal {signum}: shutting down", flush=True)
+        # shutdown() must not run on the serve_forever thread (deadlock)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _shutdown)
+        except ValueError:
+            pass  # not in the main thread
+    print(
+        f"serving on {args.serve_host}:{server.server_port}", flush=True
+    )
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--videos", required=True,
-                        help="video file, directory, or glob")
+    parser.add_argument("--videos", default=None,
+                        help="video file, directory, or glob (required "
+                             "except under --serve, where videos arrive "
+                             "over HTTP)")
     parser.add_argument("--outdir", required=True)
     parser.add_argument("--checkpoint", help="orbax checkpoint dir (run.py)")
     parser.add_argument("--torch-weights", help="torch MGFN state dict (.pt)")
@@ -234,10 +381,24 @@ def main(argv=None) -> None:
     parser.add_argument("--idle-exit", type=float, default=None,
                         help="--watch: exit after this many seconds with "
                              "no new videos (default: run forever)")
+    parser.add_argument("--serve", type=int, default=None, metavar="PORT",
+                        help="HTTP scoring endpoint (stdlib, no extra "
+                             "deps): POST /score?name=v.mp4 with raw video "
+                             "bytes returns the score JSON; GET /healthz, "
+                             "/stats, /scores/<stem>. Scoring serializes "
+                             "on the device; health/stats stay responsive. "
+                             "Port 0 picks a free port (printed). SIGTERM "
+                             "shuts down gracefully.")
+    parser.add_argument("--serve-host", default="127.0.0.1",
+                        help="--serve bind address (0.0.0.0 to expose)")
     args = parser.parse_args(argv)
+    if args.watch and args.serve is not None:
+        parser.error("--watch and --serve are mutually exclusive")
+    if args.videos is None and args.serve is None:
+        parser.error("--videos is required (unless --serve)")
 
-    videos = find_videos(args.videos)
-    if not videos and not args.watch:
+    videos = find_videos(args.videos) if args.videos else []
+    if not videos and not args.watch and args.serve is None:
         raise SystemExit(f"no videos match {args.videos!r}")
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -349,6 +510,10 @@ def main(argv=None) -> None:
             fig.savefig(os.path.join(args.outdir, f"{stem}_scores.png"), dpi=80)
             plt.close(fig)
         return out
+
+    if args.serve is not None:
+        serve_http(args, process)
+        return
 
     if not args.watch:
         for path in videos:

@@ -440,6 +440,118 @@ def test_infer_cli_watch_mode(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_cli_http_serving(tmp_path):
+    """--serve: POST a video's bytes, get its score JSON back; healthz and
+    stats respond; repeat POSTs return the cached scores; SIGTERM shuts
+    down gracefully."""
+    import signal
+    import time
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    video_path = tmp_path / "demo.avi"
+    write_video(video_path, n_frames=20)
+
+    _, model = build_model("sultani")
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 32, 2049), jnp.float32),
+        train=True,
+    )
+    ckpt = TopKCheckpointer(str(tmp_path / "ckpts"))
+    ckpt.save(
+        step=1,
+        state=TrainState.create(model, variables, adam_with_l2()),
+        metric=0.5,
+    )
+    ckpt.wait()
+    ckpt.write_metadata({"model_name": "sultani", "model_config": {}})
+
+    outdir = tmp_path / "scores"
+    log_path = tmp_path / "server.log"
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(
+            [
+                sys.executable, os.path.join(REPO, "infer.py"),
+                "--checkpoint", str(tmp_path / "ckpts"),
+                "--outdir", str(outdir),
+                "--dtype", "float32",
+                "--crops", "center",
+                "--batch", "1",
+                "--serve", "0",
+            ],
+            env=ENV, cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
+        )
+    try:
+        deadline = time.time() + 600
+        port = None
+        while port is None:
+            assert proc.poll() is None, log_path.read_text()
+            assert time.time() < deadline, "server never came up"
+            for line in log_path.read_text().splitlines():
+                if line.startswith("serving on "):
+                    port = int(line.rsplit(":", 1)[1])
+            time.sleep(1)
+        base = f"http://127.0.0.1:{port}"
+
+        health = json.loads(urllib.request.urlopen(f"{base}/healthz").read())
+        assert health["ok"] is True
+
+        req = urllib.request.Request(
+            f"{base}/score?name=demo.avi", data=video_path.read_bytes(),
+            method="POST",
+        )
+        scored = json.loads(urllib.request.urlopen(req, timeout=600).read())
+        assert scored["n_clips"] == 2  # ceil(20/16) clips
+        assert len(scored["frame_scores"]) == 2 * 16
+        assert all(0.0 <= s <= 1.0 for s in scored["frame_scores"])
+        # persisted like the offline CLI would
+        assert json.loads((outdir / "demo_scores.json").read_text()) == scored
+
+        # idempotent: a repeat POST returns the cached JSON, no re-extract
+        again = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert again == scored
+        cached = json.loads(
+            urllib.request.urlopen(f"{base}/scores/demo").read()
+        )
+        assert cached == scored
+
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["videos_scored"] == 1
+        assert stats["clips_scored"] == 2
+        assert stats["errors"] == 0
+
+        # garbage bytes: 500, error counted, serving survives
+        bad = urllib.request.Request(
+            f"{base}/score?name=junk.avi", data=b"not a video",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=120)
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as err:
+            assert err.code == 500
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["errors"] == 1
+
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "shutting down" in log_path.read_text()
+
+
+@pytest.mark.slow
 def test_infer_cli_torch_weights(tmp_path):
     """infer.py with a converted torch MGFN state dict (HF layout)."""
     import torch
