@@ -48,12 +48,28 @@ class TopKCheckpointer:
             # orbax refuses create=True with active_processes; the
             # os.makedirs above already created the root
             options_kwargs["create"] = False
+        from orbax.checkpoint import checkpoint_managers as ocp_cm
+
+        # top-k by metric UNION the most recent step (the reference's
+        # save_top_k + save_last, model_checkpoint.yaml). max_to_keep +
+        # best_fn alone is NOT that: orbax keeps only the best N, so a
+        # metric-less save (preemption, eval-less epochs) would be
+        # garbage-collected as soon as k better checkpoints existed and a
+        # resume would silently lose the newest steps.
+        preservation = ocp_cm.AnyPreservationPolicy(
+            [
+                ocp_cm.LatestN(1),
+                ocp_cm.BestN(
+                    get_metric_fn=lambda m: m.get("metric", -1.0),
+                    n=top_k,
+                    keep_checkpoints_without_metrics=False,
+                ),
+            ]
+        )
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=top_k + 1,
-                best_fn=(lambda m: m.get("metric", -1.0)),
-                best_mode="max",
+                preservation_policy=preservation,
                 **options_kwargs,
             ),
         )
@@ -104,7 +120,9 @@ class TopKCheckpointer:
         self.manager.save(
             step,
             args=ocp.args.StandardSave(payload),
-            metrics={"metric": float(metric) if metric is not None else -1.0},
+            # metric-less saves (preemption, eval-less epochs) carry no
+            # metrics entry: they are preserved only while latest
+            metrics=None if metric is None else {"metric": float(metric)},
         )
         self._last_saved = step
         return os.path.join(self.directory, str(step))

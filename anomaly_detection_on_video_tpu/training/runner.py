@@ -483,14 +483,18 @@ class VideoAnomalyDetectionRunner:
         VMs send SIGTERM with a grace period) resumes from the preemption
         step instead of the last eval epoch. The role Lightning's default
         SIGTERM handling plays for the reference trainer (run.py:32-35).
-        Under multihost the preempting scheduler signals every process;
-        non-primary processes stop at their own step boundary and only
-        process 0 (the one holding a checkpointer) writes.
+        Under multihost the local stop flags are all-gathered at every step
+        boundary, so ANY process's signal stops every process at the SAME
+        step (skewed signal delivery would otherwise deadlock the next
+        grads collective); only process 0 (the one holding a checkpointer)
+        writes.
         """
         normal, abnormal = train_datasets["normal"], train_datasets["abnormal"]
         rng = jax.random.PRNGKey(self.seed + 2)
         last_eval: Optional[EvalResult] = None
-        stop_signal = {"num": None}
+        if isinstance(handle_signals, str):  # preempt_signals=SIGTERM on
+            handle_signals = (handle_signals,)  # the CLI parses as a string
+        stop_signal = {"num": None, "sync": bool(handle_signals)}
         restore_handlers = {}
         if handle_signals:
             import signal
@@ -501,6 +505,7 @@ class VideoAnomalyDetectionRunner:
             for name in handle_signals:
                 signum = getattr(signal, name, None)
                 if signum is None:
+                    print(f"warning: unknown signal name {name!r} ignored")
                     continue
                 try:
                     restore_handlers[signum] = signal.signal(
@@ -526,6 +531,26 @@ class VideoAnomalyDetectionRunner:
         shuffle, eval_every, frames_per_clip, figure_dir, batch_videos,
         rng, last_eval, stop_signal,
     ) -> Optional[EvalResult]:
+        # Preemption stop decision. Multi-process runs must agree on the
+        # stop BOUNDARY: the scheduler's signals land at slightly different
+        # wall times, and a process that takes one more step than its peers
+        # deadlocks in the grads collective — so with peers the local flag
+        # is all-gathered each step and any process's signal stops everyone
+        # at the same step. Single-process reads the flag directly.
+        if jax.process_count() > 1 and stop_signal.get("sync", True):
+            from jax.experimental import multihost_utils
+
+            def stop_requested() -> bool:
+                flags = multihost_utils.process_allgather(
+                    np.asarray(stop_signal["num"] is not None)
+                )
+                return bool(np.any(flags))
+
+        else:
+
+            def stop_requested() -> bool:
+                return stop_signal["num"] is not None
+
         # continue step numbering after a resume so new checkpoints don't
         # collide with (or overwrite) the restored ones
         step = int(self.state.step) if self.state is not None else 0
@@ -556,22 +581,32 @@ class VideoAnomalyDetectionRunner:
                 # (configs/trainer/callbacks/lrmonitor.yaml, interval=step)
                 self._log({"train_loss": loss, "lr-Adam": self.learning_rate}, step)
                 step += 1
-                if stop_signal["num"] is not None:
+                if stop_requested():
+                    stop_signal["stopped"] = True
                     break
-            if stop_signal["num"] is not None:
+            if stop_signal.get("stopped"):
                 # graceful preemption: skip eval (the grace period is short),
                 # persist the exact step reached, and leave cleanly — resume
                 # picks up from here (restore_latest + step continuation)
+                saved = False
                 if self.checkpointer is not None and self.state is not None:
                     self.checkpointer.save(
                         step=step, state=self.state, metric=None
                     )
                     self.checkpointer.wait()
+                    saved = True
                 self._log({"preempted_at_step": step}, step)
-                print(
-                    f"signal {stop_signal['num']}: checkpoint saved at "
-                    f"step {step}, stopping"
+                source = (
+                    f"signal {stop_signal['num']}"
+                    if stop_signal["num"] is not None
+                    else "peer-process signal"
                 )
+                if saved:
+                    print(
+                        f"{source}: checkpoint saved at step {step}, stopping"
+                    )
+                else:
+                    print(f"{source}: stopping at step {step}")
                 return last_eval
             metrics = {
                 "epoch": epoch,

@@ -185,7 +185,7 @@ def wait_for_device(max_wait_s: float = 1800.0, poll_s: float = 60.0):
     while True:
         try:
             return jax.devices()
-        except Exception as exc:  # backend init failures are RuntimeErrors
+        except RuntimeError as exc:  # backend init failure (not code bugs)
             if time.time() >= deadline:
                 raise
             print(

@@ -184,6 +184,26 @@ def score_features(features, apply_fn, variables, eval_step):
     return np.asarray(scores)[0, :n_clips, 0]
 
 
+def new_serving_stats():
+    """Shared counter structure for both serving modes (--watch heartbeat
+    file and --serve /stats)."""
+    import time
+
+    return {
+        "started_unix": round(time.time(), 1),
+        "videos_scored": 0,
+        "clips_scored": 0,
+        "errors": 0,
+    }
+
+
+def record_scored(stats, res) -> None:
+    stats["videos_scored"] += 1
+    stats["clips_scored"] += res["n_clips"]
+    stats["last_video"] = res["video"]
+    stats["last_latency_s"] = res["latency_s"]
+
+
 def serve_http(args, process) -> None:
     """HTTP scoring endpoint (``--serve PORT``), stdlib only.
 
@@ -210,12 +230,7 @@ def serve_http(args, process) -> None:
     import jax
 
     score_lock = threading.Lock()
-    stats = {
-        "started_unix": round(time.time(), 1),
-        "videos_scored": 0,
-        "clips_scored": 0,
-        "errors": 0,
-    }
+    stats = new_serving_stats()
     spool = os.path.join(args.outdir, "_spool")
 
     class Handler(BaseHTTPRequestHandler):
@@ -262,45 +277,68 @@ def serve_http(args, process) -> None:
                 return self._json(404, {"error": f"{stem} not scored"})
             return self._json(404, {"error": f"unknown path {path!r}"})
 
+        def _drain_body(self):
+            """Read and discard the request body so closing the socket
+            does not RST the queued response out from under the client."""
+            remaining = int(self.headers.get("Content-Length") or 0)
+            while remaining > 0:
+                chunk = self.rfile.read(min(1 << 20, remaining))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+
         def do_POST(self):
             url = urlparse(self.path)
             if url.path != "/score":
+                self._drain_body()
                 return self._json(404, {"error": f"unknown path {url.path!r}"})
             name = os.path.basename(
                 parse_qs(url.query).get("name", ["upload.mp4"])[0]
             )
             stem = os.path.splitext(name)[0]
             score_path = os.path.join(args.outdir, f"{stem}_scores.json")
-            if os.path.exists(score_path):
+            if os.path.exists(score_path):  # idempotent per stem
+                self._drain_body()
                 with open(score_path) as f:
                     return self._json(200, json.load(f))
             length = int(self.headers.get("Content-Length") or 0)
             if length <= 0:
                 return self._json(400, {"error": "empty request body"})
-            data = self.rfile.read(length)
+            # per-request spool subdir: concurrent same-name uploads must
+            # not overwrite/delete each other's bytes mid-decode; the
+            # basename (the score stem) is preserved inside it
+            import tempfile
+
             os.makedirs(spool, exist_ok=True)
-            video_path = os.path.join(spool, name)
-            with open(video_path, "wb") as f:
-                f.write(data)
+            req_dir = tempfile.mkdtemp(dir=spool)
+            video_path = os.path.join(req_dir, name)
+            remaining = length
+            with open(video_path, "wb") as f:  # bounded memory per upload
+                while remaining > 0:
+                    chunk = self.rfile.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    f.write(chunk)
+                    remaining -= len(chunk)
             try:
                 with score_lock:
                     res = process(video_path)
-                    stats["videos_scored"] += 1
-                    stats["clips_scored"] += res["n_clips"]
-                    stats["last_video"] = res["video"]
-                    stats["last_latency_s"] = res["latency_s"]
+                    record_scored(stats, res)
                 return self._json(200, res)
             except Exception as exc:  # one bad upload must not kill serving
                 stats["errors"] += 1
                 return self._json(500, {"error": str(exc)})
             finally:
-                try:
-                    os.remove(video_path)
-                except OSError:
-                    pass
+                import shutil
+
+                shutil.rmtree(req_dir, ignore_errors=True)
 
     server = ThreadingHTTPServer((args.serve_host, args.serve), Handler)
-    server.daemon_threads = True
+    # ThreadingHTTPServer defaults daemon_threads=True, under which
+    # server_close() never joins handlers and interpreter exit can kill an
+    # in-flight scoring mid-write; non-daemon threads make the SIGTERM
+    # path genuinely wait for the current request
+    server.daemon_threads = False
 
     def _shutdown(signum, frame):
         print(f"signal {signum}: shutting down", flush=True)
@@ -487,8 +525,13 @@ def main(argv=None) -> None:
             "latency_s": round(_time.time() - t0, 3),
         }
         out_path = os.path.join(args.outdir, f"{stem}_scores.json")
-        with open(out_path, "w") as f:
+        # atomic: the HTTP endpoint reads score JSONs concurrently, and a
+        # kill mid-write must not leave a truncated file that poisons the
+        # idempotency check forever
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump(out, f)
+        os.replace(tmp_path, out_path)
         print(
             f"{stem}: {features.shape[0]} clips, "
             f"max score {clip_scores.max():.4f} -> {out_path}"
@@ -542,12 +585,7 @@ def main(argv=None) -> None:
     # serving heartbeat: counters written atomically to
     # <outdir>/_serving_stats.json every poll, so an operator (or a probe)
     # can monitor a long-running watcher without parsing its stdout
-    stats = {
-        "started_unix": round(time.time(), 1),
-        "videos_scored": 0,
-        "clips_scored": 0,
-        "errors": 0,
-    }
+    stats = new_serving_stats()
 
     def write_stats(n_watching):
         snap = dict(
@@ -578,11 +616,7 @@ def main(argv=None) -> None:
             if scored(path, size) or last_sizes.get(path) != size:
                 continue  # done already, new this poll, or still growing
             try:
-                res = process(path)
-                stats["videos_scored"] += 1
-                stats["clips_scored"] += res["n_clips"]
-                stats["last_video"] = res["video"]
-                stats["last_latency_s"] = res["latency_s"]
+                record_scored(stats, process(path))
             except Exception as exc:  # one bad file must not kill serving
                 stats["errors"] += 1
                 print(f"warning: {path}: {exc}", file=sys.stderr)

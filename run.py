@@ -245,7 +245,13 @@ def main(argv=None) -> None:
         eval_every=int(trainer_cfg.get("eval_every", 1)),
         frames_per_clip=int(data_cfg.get("frames_per_clip", 16)),
         figure_dir=trainer_cfg.get("figure_dir") if is_primary else None,
-        handle_signals=tuple(trainer_cfg.get("preempt_signals") or ()),
+        # a scalar override (trainer.preempt_signals=SIGTERM) parses as a
+        # string; tuple() would split it into characters
+        handle_signals=(
+            (trainer_cfg["preempt_signals"],)
+            if isinstance(trainer_cfg.get("preempt_signals"), str)
+            else tuple(trainer_cfg.get("preempt_signals") or ())
+        ),
     )
     if result is not None and is_primary:
         print(f"final valid/rec_auc={result.rec_auc:.4f} valid/pr_auc={result.pr_auc:.4f}")

@@ -36,6 +36,40 @@ TINY_META = {
 }
 
 
+def test_top_k_plus_latest_preservation(tmp_path):
+    """The reference keeps save_top_k best AND save_last
+    (model_checkpoint.yaml); a metric-less save (preemption checkpoint,
+    eval-less epoch) must survive as the latest even when it would lose
+    every metric comparison, and the worst metric-bearing step is the one
+    garbage-collected."""
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    _, model = build_model(
+        "mgfn", dims=(16, 16, 32), depths=(1, 1, 1), dim_head=8, channels=24
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 8, 25)),
+        train=True,
+    )
+    state = TrainState.create(model, variables, adam_with_l2())
+    ckpt = TopKCheckpointer(str(tmp_path), top_k=2)
+    for step, metric in [(1, 0.6), (2, 0.9), (3, 0.8)]:
+        ckpt.save(step=step, state=state, metric=metric)
+        ckpt.wait()
+    # the preemption-style save: no metric, strictly worse than everything
+    ckpt.save(step=4, state=state.replace(step=4), metric=None)
+    ckpt.wait()
+
+    kept = sorted(ckpt.manager.all_steps())
+    assert kept == [2, 3, 4]  # top-2 by metric + the latest
+    assert ckpt.manager.latest_step() == 4
+    restored = ckpt.restore_latest(state)
+    assert int(restored.step) == 4
+
+
 def test_metadata_roundtrip(tmp_path):
     ckpt = TopKCheckpointer(str(tmp_path))
     assert TopKCheckpointer.load_metadata(str(tmp_path)) is None

@@ -395,6 +395,118 @@ def test_two_process_training_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_preemption_stops_both(tmp_path):
+    """SIGTERM delivered to only ONE process (the non-primary one, the
+    hard case): the per-step all-gathered stop flag must stop BOTH
+    processes at the same step boundary — uncoordinated stops would
+    deadlock the next grads collective — and process 0 (which never saw
+    the signal) must write the preemption checkpoint."""
+    import json
+    import re
+    import signal
+    import time
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    seg_dir = tmp_path / "segments"
+    test_dir = tmp_path / "test"
+    seg_dir.mkdir()
+    test_dir.mkdir()
+    gt = {}
+    for i in range(8):
+        prefix = "Normal_Videos" if i % 2 == 0 else "Abuse"
+        name = f"{prefix}{i:03d}_x264_i3d.npy"
+        np.save(seg_dir / name, rng.randn(10, 32, 2048).astype(np.float32))
+        np.save(test_dir / name, rng.randn(3, 10, 2048).astype(np.float32))
+        gt[name[:-8]] = [0.0 if i % 2 == 0 else 1.0] * (3 * 16)
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+    run_dir = tmp_path / "run"
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             PREEMPT_WORKER.format(
+                 repo=repo, port=port, pid=pid, seg_dir=str(seg_dir),
+                 test_dir=str(test_dir), gt_path=str(gt_path),
+                 run_dir=str(run_dir),
+             )],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    try:
+        # wait for lockstep training to be under way (process 0 logs steps)
+        metrics_path = run_dir / "metrics.jsonl"
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            if (
+                metrics_path.exists()
+                and "train_loss" in metrics_path.read_text()
+            ):
+                break
+            assert all(p.poll() is None for p in procs)
+            time.sleep(1.0)
+        procs[1].send_signal(signal.SIGTERM)  # non-primary only
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "RUN_DONE" in out, f"process {pid} output:\n{out}"
+    # process 0 stopped via the all-gathered flag and saved; process 1 saw
+    # the signal directly and (checkpointer-less) just stopped
+    m0 = re.search(r"peer-process signal: checkpoint saved at step (\d+)",
+                   outs[0])
+    m1 = re.search(r"signal \d+: stopping at step (\d+)", outs[1])
+    assert m0, outs[0]
+    assert m1, outs[1]
+    assert m0.group(1) == m1.group(1)  # the SAME step boundary
+    assert any(
+        entry.name.isdigit() for entry in os.scandir(run_dir / "ckpt")
+    )
+
+
+PREEMPT_WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import run
+run.main([
+    "runner=mgfn",
+    "trainer.multihost=true",
+    "trainer.coordinator=localhost:{port}",
+    "trainer.num_processes=2",
+    "trainer.process_id={pid}",
+    "data.train_path={seg_dir}",
+    "data.test_path={test_dir}",
+    "data.ground_truth_path={gt_path}",
+    "data.batch_size=4",
+    "trainer.max_epochs=100000",
+    "trainer.eval_every=100000",
+    "trainer.log_path={run_dir}/metrics.jsonl",
+    "trainer.checkpoint.dirpath={run_dir}/ckpt",
+    "runner.model_config.dims=[16,16,32]",
+    "runner.model_config.depths=[1,1,1]",
+    "runner.model_config.dim_head=8",
+])
+print("RUN_DONE", flush=True)
+"""
+
+
+@pytest.mark.slow
 def test_two_process_tp_checkpoint_save(tmp_path):
     """Process-local checkpointing of a state whose weights are
     tensor-parallel-sharded ACROSS processes: process 0 assembles every
