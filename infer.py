@@ -429,6 +429,12 @@ def main(argv=None) -> None:
                              "shuts down gracefully.")
     parser.add_argument("--serve-host", default="127.0.0.1",
                         help="--serve bind address (0.0.0.0 to expose)")
+    parser.add_argument("--warmup", type=int, default=0, metavar="CLIPS",
+                        help="serving warmup: pre-compile the I3D forward "
+                             "and every scorer eval bucket up to CLIPS "
+                             "clips before accepting work, so first "
+                             "requests don't pay XLA compiles (pairs with "
+                             "--compile-cache across restarts)")
     args = parser.parse_args(argv)
     if args.watch and args.serve is not None:
         parser.error("--watch and --serve are mutually exclusive")
@@ -483,6 +489,44 @@ def main(argv=None) -> None:
         # pin_calibration; extract_features.py does the same)
         extractor.pin_calibration(args.features_dir or args.outdir)
     apply_fn, variables, eval_step, model_name = build_scorer(args)
+
+    if args.warmup > 0:
+        import time as _time
+
+        from anomaly_detection_on_video_tpu.training.runner import eval_bucket
+
+        t0 = _time.time()
+        if extractor.quantize and getattr(
+            extractor, "_needs_calibration", False
+        ):
+            # int8 calibrates activation scales on the first REAL chunk;
+            # warming up on zeros would pin degenerate scales
+            print("warmup: skipping extractor (int8 awaits calibration "
+                  "on the first real video)", flush=True)
+        else:
+            # compiles fused preprocessing (per input resolution; 240x320
+            # is the dominant UCF-Crime shape) + the I3D forward (shared
+            # by every resolution — the expensive compile)
+            frames = np.zeros(
+                (args.frames_per_clip, 240, 320, 3), np.uint8
+            )
+            extractor.extract_frames(frames)
+        # every scorer eval bucket a video of <= --warmup clips can hit
+        buckets, n = {eval_bucket(args.warmup)}, 1
+        while n <= args.warmup:
+            buckets.add(eval_bucket(n))
+            n *= 2
+        n_crops = 10 if args.crops == "ten" else 1
+        for bucket in sorted(buckets):
+            score_features(
+                np.zeros((bucket, n_crops, 2048), np.float32),
+                apply_fn, variables, eval_step,
+            )
+        print(
+            f"warmup done in {_time.time() - t0:.1f}s "
+            f"(eval buckets {sorted(buckets)})",
+            flush=True,
+        )
 
     def process(path):
         import time as _time

@@ -488,6 +488,7 @@ def test_infer_cli_http_serving(tmp_path):
                 "--crops", "center",
                 "--batch", "1",
                 "--serve", "0",
+                "--warmup", "4",
             ],
             env=ENV, cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
         )
@@ -548,7 +549,9 @@ def test_infer_cli_http_serving(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
-    assert "shutting down" in log_path.read_text()
+    log_text = log_path.read_text()
+    assert "shutting down" in log_text
+    assert "warmup done" in log_text  # compiles happened before serving
 
 
 @pytest.mark.slow
