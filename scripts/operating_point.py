@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Pick a deployment threshold from scored videos + frame-level GT.
+
+The reference (and the training loop here) reports threshold-free AUCs
+only (reference src/runner.py:73-76); a deployed detector needs an actual
+operating point. This joins ``infer.py`` score JSONs with the GT-builder's
+``ground_truth.json`` and reports, as one JSON line:
+
+- frame-level ROC AUC and PR AUC over every joined video
+- the best-F1 threshold (precision/recall/F1 at it)
+- the threshold at a target false-positive rate (``--target-fpr``)
+- per-video max scores for triage
+
+    python scripts/operating_point.py --scores scores/ \
+        --gt ground_truth.json --target-fpr 0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def join_scores_with_gt(scores_dir: str, gt: dict):
+    """Concatenate frame scores/labels over every video present in both."""
+    all_scores, all_labels, per_video = [], [], {}
+    for path in sorted(glob.glob(os.path.join(scores_dir, "*_scores.json"))):
+        with open(path) as f:
+            rec = json.load(f)
+        stem = os.path.basename(path)[: -len("_scores.json")]
+        labels = gt.get(stem)
+        if labels is None:  # GT keys may carry the _i3d suffix form
+            labels = gt.get(f"{stem}_i3d")
+        if labels is None:
+            continue
+        frames = np.asarray(rec["frame_scores"], np.float64)
+        labels = np.asarray(labels, np.float64)
+        n = min(len(frames), len(labels))  # loop-pad vs annotation tails
+        all_scores.append(frames[:n])
+        all_labels.append(labels[:n])
+        per_video[stem] = float(frames.max()) if n else 0.0
+    if not all_scores:
+        raise SystemExit(
+            f"no video in {scores_dir!r} matches a ground-truth key"
+        )
+    return np.concatenate(all_scores), np.concatenate(all_labels), per_video
+
+
+def operating_points(labels, scores, target_fpr=0.01):
+    from anomaly_detection_on_video_tpu.ops.metrics import (
+        pr_auc,
+        precision_recall_curve,
+        roc_auc,
+        roc_curve,
+    )
+
+    out = {
+        "frames": int(labels.size),
+        "positive_frames": int(labels.sum()),
+        "roc_auc": round(roc_auc(labels, scores), 6),
+        "pr_auc": round(pr_auc(labels, scores), 6),
+    }
+
+    precision, recall, thresholds = precision_recall_curve(labels, scores)
+    # curve arrays carry the (recall 0, precision 1) endpoint past the last
+    # threshold; align to thresholds
+    p, r = precision[: len(thresholds)], recall[: len(thresholds)]
+    f1 = np.where(p + r > 0, 2 * p * r / np.maximum(p + r, 1e-12), 0.0)
+    best = int(np.argmax(f1))
+    out["best_f1"] = {
+        "threshold": float(thresholds[best]),
+        "f1": round(float(f1[best]), 6),
+        "precision": round(float(p[best]), 6),
+        "recall": round(float(r[best]), 6),
+    }
+
+    fpr, tpr, roc_thresholds = roc_curve(labels, scores)
+    fpr, tpr = fpr[1:], tpr[1:]  # drop the (0,0) origin (no threshold)
+    ok = fpr <= target_fpr
+    if ok.any():
+        idx = int(np.argmax(np.where(ok, tpr, -1.0)))
+        out["at_target_fpr"] = {
+            "target_fpr": target_fpr,
+            "threshold": float(roc_thresholds[idx]),
+            "fpr": round(float(fpr[idx]), 6),
+            "tpr": round(float(tpr[idx]), 6),
+        }
+    else:
+        out["at_target_fpr"] = {"target_fpr": target_fpr, "threshold": None}
+    return out
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--scores", required=True,
+                        help="directory of infer.py <stem>_scores.json")
+    parser.add_argument("--gt", required=True,
+                        help="ground_truth.json (make_gt_ucf.py)")
+    parser.add_argument("--target-fpr", type=float, default=0.01)
+    parser.add_argument("--per-video", action="store_true",
+                        help="include per-video max frame scores")
+    args = parser.parse_args(argv)
+
+    with open(args.gt) as f:
+        gt = json.load(f)
+    scores, labels, per_video = join_scores_with_gt(args.scores, gt)
+    out = operating_points(labels, scores, args.target_fpr)
+    out["videos"] = len(per_video)
+    if args.per_video:
+        out["per_video_max_score"] = {
+            k: round(v, 6) for k, v in sorted(per_video.items())
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
