@@ -59,9 +59,9 @@ class FeatureExtractor:
             raise ValueError(f"stream must be rgb or flow, got {stream!r}")
         if crops not in ("ten", "center"):
             raise ValueError(f"crops must be ten or center, got {crops!r}")
-        if flow_backend not in (None, "host", "device"):
+        if flow_backend not in (None, "host", "device", "tvl1"):
             raise ValueError(
-                f"flow_backend must be host or device, got {flow_backend!r}"
+                f"flow_backend must be host, device, or tvl1, got {flow_backend!r}"
             )
         self.stream = stream
         # device Farneback (ops/flow.py) removes the ~84 ms/frame host
@@ -461,8 +461,10 @@ class FeatureExtractor:
         """Per-chunk transform for the active stream (None for RGB).
 
         The flow stream turns decoded RGB chunks into quantized uint8 flow:
-        either cv2 Farneback on the host (data/flow.py) or the jit'd device
-        Farneback (ops/flow.py) depending on ``flow_backend``.
+        cv2 Farneback on the host (data/flow.py), the jit'd device Farneback
+        (ops/flow.py), or the jit'd device TV-L1 (ops/tvl1.py — the original
+        two-stream I3D protocol's flow algorithm) depending on
+        ``flow_backend``.
         """
         if self.stream != "flow":
             return None
@@ -473,6 +475,12 @@ class FeatureExtractor:
 
             return lambda chunk: flow_to_uint8(
                 np.asarray(compute_flow_device(chunk))
+            )
+        if self.flow_backend == "tvl1":
+            from ..ops.tvl1 import compute_flow_tvl1
+
+            return lambda chunk: flow_to_uint8(
+                np.asarray(compute_flow_tvl1(chunk))
             )
         from .flow import compute_flow
 
@@ -491,12 +499,13 @@ class FeatureExtractor:
 def record_flow_backend(outdir: str, backend: str) -> None:
     """Pin the flow backend of a feature directory (sidecar JSON).
 
-    The host (cv2) and device (ops/flow.py) Farneback backends agree only to
-    ~0.3 px median, so an idempotent resume with the other backend would
-    silently mix two flow definitions in one directory. The first flow run
-    into ``outdir`` records its backend in ``flow_backend.json``; later runs
-    must match or fail with instructions, making mixed-backend feature sets
-    impossible rather than merely detectable.
+    The flow backends differ numerically (host/device Farneback agree only
+    to ~0.3 px median; TV-L1 is a different algorithm entirely), so an
+    idempotent resume with another backend would silently mix flow
+    definitions in one directory. The first flow run into ``outdir``
+    records its backend in ``flow_backend.json``; later runs must match or
+    fail with instructions, making mixed-backend feature sets impossible
+    rather than merely detectable.
     """
     import json
 
@@ -508,9 +517,9 @@ def record_flow_backend(outdir: str, backend: str) -> None:
         if previous != backend:
             raise ValueError(
                 f"{outdir} holds flow features from the {previous!r} backend "
-                f"but this run uses {backend!r}; the two Farneback "
-                f"implementations differ numerically (~0.3 px median). Pass "
-                f"flow_backend={previous!r} to resume, or use a fresh outdir."
+                f"but this run uses {backend!r}; the flow backends differ "
+                f"numerically. Pass flow_backend={previous!r} to resume, or "
+                f"use a fresh outdir."
             )
         return
     print(f"flow backend: {backend} (pinned in {path})")

@@ -3,8 +3,10 @@
 The reference repo ships RGB-only extraction; the two-stream (RGB +
 optical-flow) protocol is the standard I3D recipe (Carreira & Zisserman)
 and one of the driver's benchmark configs. Host-side dense flow via
-OpenCV Farneback (TV-L1 is not available in this OpenCV build), with the
-usual I3D-flow normalization: truncate to [-bound, bound], scale to [-1, 1].
+OpenCV Farneback (TV-L1 is not available in this OpenCV build; the
+device backends provide Farneback in ops/flow.py and a from-scratch
+TV-L1 in ops/tvl1.py), with the usual I3D-flow normalization: truncate
+to [-bound, bound], scale to [-1, 1].
 
 Flow frames feed the same fused resize/ten-crop pipeline; the I3D flow
 stream is models/i3d.py with 2 input channels (the stem conv infers its

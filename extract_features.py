@@ -99,10 +99,12 @@ def main(argv=None) -> None:
                         help="two-stream support: RGB, optical-flow, or "
                              "both in one shared decode pass")
     parser.add_argument("--flow-backend", default=None,
-                        choices=["host", "device"],
-                        help="Farneback on the host (cv2) or the TPU "
-                             "(ops/flow.py, ~13x faster); default: device "
-                             "on TPU, host elsewhere")
+                        choices=["host", "device", "tvl1"],
+                        help="Farneback on the host (cv2), Farneback on the "
+                             "TPU (ops/flow.py, ~13x faster), or TV-L1 on "
+                             "the TPU (ops/tvl1.py — the original I3D "
+                             "two-stream protocol's flow algorithm); "
+                             "default: device on TPU, host elsewhere")
     parser.add_argument("--decode-workers", type=int, default=None,
                         help=">1 decodes that many videos concurrently to "
                              "keep the chip fed (one decode stream is ~8x "
