@@ -529,6 +529,56 @@ def record_flow_backend(outdir: str, backend: str) -> None:
     os.replace(tmp, path)
 
 
+def _has_feature_files(outdir: str) -> bool:
+    import glob as _glob
+
+    return bool(
+        _glob.glob(os.path.join(outdir, "*_i3d.npy"))
+        or _glob.glob(os.path.join(outdir, "*_flow.npy"))
+    )
+
+
+def record_crop_protocol(outdir: str, crops: str) -> None:
+    """Pin the crop protocol of a feature directory (sidecar JSON).
+
+    Ten-crop (n_clips, 10, 2048) and center-crop (n_clips, 1, 2048)
+    features are shape-incompatible on disk but share the same filenames,
+    so an idempotent resume under the other protocol would silently mix
+    them in one directory. Center-crop runs (the serving protocol,
+    ``FeatureExtractor(crops="center")``) pin ``crops.json``; the
+    canonical ten-crop protocol writes nothing, keeping
+    reference-compatible directories byte-identical to the reference
+    layout (extract_features.py:104-156) — a directory without a pin but
+    with feature files is by definition ten-crop.
+    """
+    import json
+
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "crops.json")
+    previous = None
+    if os.path.exists(path):
+        with open(path) as f:
+            previous = json.load(f).get("crops")
+    elif _has_feature_files(outdir):
+        previous = "ten"  # unpinned features predate the center protocol
+    if previous is not None:
+        if previous != crops:
+            raise ValueError(
+                f"{outdir} holds {previous}-crop features but this run uses "
+                f"crops={crops!r}; the two protocols are shape-incompatible "
+                f"on disk ((n, 10, 2048) vs (n, 1, 2048)). Pass "
+                f"crops={previous!r} to resume, or use a fresh outdir."
+            )
+        return
+    if crops == "ten":
+        return
+    print(f"crop protocol: {crops} (pinned in {path})")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"crops": crops}, f)
+    os.replace(tmp, path)
+
+
 def feature_filename(stem: str, stream: str = "rgb") -> str:
     """``<stem>_i3d.npy`` for RGB (the reference's on-disk layout,
     extract_features.py:126) and ``<stem>_flow.npy`` for the flow stream so a
@@ -552,6 +602,7 @@ def extract_videos(
     """
     extractor = extractor or FeatureExtractor(**extractor_kwargs)
     os.makedirs(outdir, exist_ok=True)
+    record_crop_protocol(outdir, extractor.crops)
     if extractor.stream == "flow":
         record_flow_backend(outdir, extractor.flow_backend)
     extractor.pin_calibration(outdir)
@@ -603,7 +654,13 @@ def extract_videos_two_stream(
     )
     if rgb_extractor.stream != "rgb" or flow_extractor.stream != "flow":
         raise ValueError("extractors must be (rgb, flow) in that order")
+    if rgb_extractor.crops != flow_extractor.crops:
+        raise ValueError(
+            "two-stream extractors must share a crop protocol, got "
+            f"{rgb_extractor.crops!r} vs {flow_extractor.crops!r}"
+        )
     os.makedirs(outdir, exist_ok=True)
+    record_crop_protocol(outdir, rgb_extractor.crops)
     record_flow_backend(outdir, flow_extractor.flow_backend)
     rgb_extractor.pin_calibration(outdir)
     flow_extractor.pin_calibration(outdir)
@@ -679,6 +736,7 @@ __all__ = [
     "extract_videos_pooled",
     "extract_videos_two_stream",
     "feature_filename",
+    "record_crop_protocol",
     "record_flow_backend",
     "segment_video_features",
 ]
@@ -724,6 +782,7 @@ def extract_videos_pooled(
         decode_workers = min(8, os.cpu_count() or 1)
     extractor = extractor or FeatureExtractor(**extractor_kwargs)
     os.makedirs(outdir, exist_ok=True)
+    record_crop_protocol(outdir, extractor.crops)
     if extractor.stream == "flow":
         record_flow_backend(outdir, extractor.flow_backend)
     extractor.pin_calibration(outdir)

@@ -105,6 +105,14 @@ def main(argv=None) -> None:
                              "the TPU (ops/tvl1.py — the original I3D "
                              "two-stream protocol's flow algorithm); "
                              "default: device on TPU, host elsewhere")
+    parser.add_argument("--crops", default="ten", choices=["ten", "center"],
+                        help="ten = the reference ten-crop protocol "
+                             "((n_clips, 10, 2048), required for the "
+                             "training contract); center = 1-crop serving "
+                             "mode ((n_clips, 1, 2048), bit-equal to "
+                             "ten-crop row 4 at a tenth of the FLOPs); the "
+                             "protocol pins per outdir so resumes cannot "
+                             "mix the two")
     parser.add_argument("--decode-workers", type=int, default=None,
                         help=">1 decodes that many videos concurrently to "
                              "keep the chip fed (one decode stream is ~8x "
@@ -182,6 +190,7 @@ def main(argv=None) -> None:
             stream=stream,
             flow_backend=args.flow_backend if stream == "flow" else None,
             quantize=(args.dtype == "int8"),
+            crops=args.crops,
         )
 
     extractor = make_extractor("rgb" if args.stream == "both" else args.stream)
@@ -284,6 +293,15 @@ def main(argv=None) -> None:
 
     if timer is not None:
         print("pipeline stages:", timer.report())
+
+    if args.crops == "center" and train_dir and not args.no_segments:
+        # 32-segment pooling is the ten-crop training contract
+        # ((10, 32, 2048), reference extract_features.py:159-185); 1-crop
+        # features are a serving protocol and cannot feed it
+        print("--crops center is a serving protocol; skipping 32-segment "
+              "pooling (the training contract requires ten-crop)",
+              file=sys.stderr)
+        train_dir = None
 
     if train_dir and not args.no_segments:
         seg_dir = os.path.join(

@@ -461,6 +461,72 @@ def test_center_crop_rejects_unknown():
         FeatureExtractor(dtype=jnp.float32, crops="five")
 
 
+def test_crop_protocol_pinned_per_outdir(tmp_path):
+    """Ten- and center-crop features are shape-incompatible under the same
+    filenames; the crops.json pin makes mixing them in one outdir
+    impossible. The canonical ten protocol writes no sidecar (the on-disk
+    layout stays exactly the reference's)."""
+    import json
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        record_crop_protocol,
+    )
+
+    outdir = str(tmp_path / "feats")
+    record_crop_protocol(outdir, "ten")
+    assert not os.path.exists(os.path.join(outdir, "crops.json"))
+    record_crop_protocol(outdir, "center")  # still empty: pins center
+    meta = json.load(open(os.path.join(outdir, "crops.json")))
+    assert meta == {"crops": "center"}
+    record_crop_protocol(outdir, "center")  # same protocol resumes fine
+    with pytest.raises(ValueError, match="center"):
+        record_crop_protocol(outdir, "ten")
+
+
+def test_crop_protocol_guards_legacy_ten_dirs(tmp_path):
+    """Directories of features extracted before the pin existed are
+    ten-crop by definition: a center run into one must fail loudly."""
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        record_crop_protocol,
+    )
+
+    outdir = str(tmp_path)
+    np.save(os.path.join(outdir, "v_i3d.npy"), np.zeros((1, 10, 4), np.float32))
+    with pytest.raises(ValueError, match="ten"):
+        record_crop_protocol(outdir, "center")
+    record_crop_protocol(outdir, "ten")  # unpinned ten dir resumes fine
+
+
+def test_extract_videos_center_crop_driver(rng, tmp_path):
+    """extract_videos with the center-crop serving extractor: 1-crop
+    features on disk, the protocol pinned, and a ten-crop resume into the
+    same outdir rejected."""
+    import cv2
+
+    from anomaly_detection_on_video_tpu.data.extraction import extract_videos
+
+    path = str(tmp_path / "v.avi")
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64)
+    )
+    for _ in range(2 * 16):
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+
+    outdir = str(tmp_path / "out")
+    kw = dict(dtype=jnp.float32, resize=64, cropsize=56)
+    center = FeatureExtractor(**kw, batch=40, crops="center")
+    n = extract_videos([path], outdir, center, progress=False)
+    assert n == 1
+    feats = np.load(os.path.join(outdir, "v_i3d.npy"))
+    assert feats.shape == (2, 1, 2048)
+    assert os.path.exists(os.path.join(outdir, "crops.json"))
+
+    ten = FeatureExtractor(**kw, batch=20, variables=center.variables)
+    with pytest.raises(ValueError, match="center"):
+        extract_videos([path], outdir, ten, progress=False)
+
+
 def test_pin_calibration_skips_rebuild_on_matching_sidecar(rng, tmp_path):
     """Re-pinning a directory whose sidecar holds the already-applied
     scales must not rebuild the model / re-jit the pipeline (minutes of
