@@ -56,6 +56,10 @@ class FeatureDataset:
     """A list of named feature arrays with lazy zip-backed loading.
 
     ``labels`` maps filename -> frame-level GT list for the test split.
+    ``pairs`` maps an RGB filename to its flow mate for two-stream
+    datasets (``build_feature_dataset(stream="both")``): the two arrays
+    concatenate on the feature axis before the magnitude channel, so a
+    (T, 10, 2048) pair becomes one (T, 10, 4097) feature.
     """
 
     filenames: List[str]
@@ -63,6 +67,7 @@ class FeatureDataset:
     _zip_path: Optional[str] = None
     _zip_members: Dict[str, str] = field(default_factory=dict)
     labels: Optional[Dict[str, List[float]]] = None
+    pairs: Dict[str, str] = field(default_factory=dict)
     _zipfile: Optional[zipfile.ZipFile] = field(default=None, repr=False)
 
     def __len__(self) -> int:
@@ -79,6 +84,15 @@ class FeatureDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         fname = self.filenames[idx]
         feature = self._load(fname)
+        if fname in self.pairs:
+            flow = self._load(self.pairs[fname])
+            if flow.shape[:-1] != feature.shape[:-1]:
+                raise ValueError(
+                    f"{fname}: RGB {feature.shape} and flow {flow.shape} "
+                    f"features disagree on clip/crop counts — were the two "
+                    f"streams extracted from the same videos?"
+                )
+            feature = np.concatenate([feature, flow], axis=-1)
         out = {
             "feature": add_magnitude(feature).astype(np.float32),
             "anomaly": np.float32(0.0 if is_normal(fname) else 1.0),
@@ -88,7 +102,9 @@ class FeatureDataset:
             # the hub ground_truth.json keys by npy filename
             # (src/dataset.py:138) while make_gt_ucf.py keys by video stem
             # (make_gt_ucf.py:39,52) — accept either
-            key = fname if fname in self.labels else fname.replace("_i3d.npy", "")
+            key = fname
+            if key not in self.labels:
+                key = fname.replace("_i3d.npy", "").replace("_flow.npy", "")
             out["label"] = np.asarray(self.labels[key], dtype=np.float32)
         return out
 
@@ -116,6 +132,43 @@ def _index_dir(path: str) -> Tuple[List[str], Dict, Dict]:
     return filenames, arrays, {}
 
 
+def _select_stream(
+    filenames: List[str], stream: str
+) -> Tuple[List[str], Dict[str, str]]:
+    """Select/pair feature files per the stream mode.
+
+    Extraction writes ``<stem>_i3d.npy`` (RGB) and ``<stem>_flow.npy``
+    (optical flow) side by side (data/extraction.feature_filename), and
+    32-segment pooling preserves both names, so one feature directory can
+    hold both streams. ``rgb`` keeps only RGB files (a single-stream run
+    over a two-stream directory must not treat flow files as extra
+    videos), ``flow`` keeps only flow files, and ``both`` pairs each RGB
+    file with its flow mate for feature-axis concatenation (the standard
+    I3D two-stream fusion, Carreira & Zisserman 2017 — an extension: the
+    reference trains RGB-only, src/dataset.py:20-21).
+    """
+    flow = {f for f in filenames if f.endswith("_flow.npy")}
+    rgb = [f for f in filenames if f not in flow]
+    if stream == "rgb":
+        return rgb, {}
+    if stream == "flow":
+        return sorted(flow), {}
+    if stream != "both":
+        raise ValueError(f"stream must be rgb, flow, or both, got {stream!r}")
+    pairs = {}
+    for f in rgb:
+        stem = f[: -len("_i3d.npy")] if f.endswith("_i3d.npy") else f[:-4]
+        mate = f"{stem}_flow.npy"
+        if mate not in flow:
+            raise ValueError(
+                f"stream='both' requires a flow mate for every RGB feature "
+                f"file; {mate!r} is missing for {f!r} (extract with "
+                f"--stream both, or use stream='rgb')"
+            )
+        pairs[f] = mate
+    return rgb, pairs
+
+
 def build_feature_dataset(
     mode: str = "train",
     local_path: Optional[str] = None,
@@ -124,6 +177,7 @@ def build_feature_dataset(
     revision: str = "main",
     dynamic_load: bool = True,
     ground_truth_path: Optional[str] = None,
+    stream: str = "rgb",
 ):
     """Build train ({"normal", "abnormal"}) or test (flat) feature datasets.
 
@@ -131,6 +185,11 @@ def build_feature_dataset(
     ``local_path`` the zips are fetched from the HF hub (requires network);
     with ``local_path`` pointing at a zip file, a directory containing the
     zip, or a directory of .npy files, everything stays local.
+
+    ``stream`` selects the feature stream(s) (see _select_stream): "rgb"
+    (the reference protocol), "flow", or "both" (two-stream concatenation,
+    2048+2048 -> 4096 before the magnitude channel — models then need
+    ``channels=4096``).
     """
     assert mode in ("train", "test")
 
@@ -167,6 +226,8 @@ def build_feature_dataset(
         filenames, arrays, members = _index_zip(filepath, dynamic_load)
         zip_path = filepath
 
+    filenames, pairs = _select_stream(filenames, stream)
+
     if mode == "test":
         labels = None
         if ground_truth_path is not None:
@@ -178,16 +239,22 @@ def build_feature_dataset(
             _zip_path=zip_path,
             _zip_members=members,
             labels=labels,
+            pairs=pairs,
         )
 
     normal = [f for f in filenames if is_normal(f)]
     abnormal = [f for f in filenames if not is_normal(f)]
-    make = lambda names: FeatureDataset(
-        filenames=names,
-        _arrays={k: arrays[k] for k in names if k in arrays},
-        _zip_path=zip_path,
-        _zip_members={k: members[k] for k in names if k in members},
-    )
+
+    def make(names):
+        keys = list(names) + [pairs[n] for n in names if n in pairs]
+        return FeatureDataset(
+            filenames=names,
+            _arrays={k: arrays[k] for k in keys if k in arrays},
+            _zip_path=zip_path,
+            _zip_members={k: members[k] for k in keys if k in members},
+            pairs={n: pairs[n] for n in names if n in pairs},
+        )
+
     return {"normal": make(normal), "abnormal": make(abnormal)}
 
 

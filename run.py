@@ -165,12 +165,28 @@ def main(argv=None) -> None:
         eval_batch_videos=int(trainer_cfg.get("eval_batch_videos", 8)),
     )
 
+    stream = data_cfg.get("stream", "rgb")
+    expected_channels = {"rgb": 2048, "flow": 2048, "both": 4096}.get(stream)
+    model_channels = getattr(model_config, "channels", None)
+    if (
+        expected_channels
+        and model_channels
+        and model_channels != expected_channels
+    ):
+        print(
+            f"warning: data.stream={stream} produces {expected_channels}-d "
+            f"features but the model expects channels={model_channels} — "
+            f"set runner.model_config.channels={expected_channels}",
+            file=sys.stderr,
+        )
+
     def data_kwargs(mode):
         return dict(
             local_path=data_cfg.get(f"{mode}_path") or data_cfg.get("local_path"),
             cache_dir=data_cfg.get("cache_dir"),
             revision=data_cfg.get("revision", "main"),
             dynamic_load=bool(data_cfg.get("dynamic_load", False)),
+            stream=stream,
         )
 
     valid_dataset = build_feature_dataset(

@@ -112,6 +112,97 @@ def test_train_batches_normal_first(tmp_path):
     np.testing.assert_array_equal(b["abnormal_labels"], [1.0, 1.0])
 
 
+def test_build_feature_dataset_two_stream(tmp_path):
+    """stream="both" pairs <stem>_i3d.npy with <stem>_flow.npy and
+    concatenates on the feature axis before the magnitude channel."""
+    zip_path = str(tmp_path / "train.zip")
+    names = [
+        "Normal_1_i3d.npy", "Normal_1_flow.npy",
+        "Abuse_1_i3d.npy", "Abuse_1_flow.npy",
+    ]
+    arrays = make_feature_zip(zip_path, names, shape=(10, 32, 8))
+    ds = build_feature_dataset("train", local_path=zip_path, stream="both")
+    assert ds["normal"].filenames == ["Normal_1_i3d.npy"]
+    assert ds["abnormal"].filenames == ["Abuse_1_i3d.npy"]
+    item = ds["abnormal"][0]
+    assert item["feature"].shape == (10, 32, 17)  # 8 + 8 + magnitude
+    np.testing.assert_allclose(
+        item["feature"][..., :8], arrays["Abuse_1_i3d.npy"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        item["feature"][..., 8:16], arrays["Abuse_1_flow.npy"], rtol=1e-6
+    )
+    # the magnitude channel is the L2 norm of the CONCATENATED vector
+    np.testing.assert_allclose(
+        item["feature"][..., 16],
+        np.linalg.norm(item["feature"][..., :16], axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_single_stream_modes_filter_two_stream_dirs(tmp_path):
+    """A two-stream feature directory read as stream="rgb" must not treat
+    the flow files as extra videos; stream="flow" selects only them."""
+    d = tmp_path / "feats"
+    d.mkdir()
+    for name in ["Normal_1", "Abuse_1"]:
+        np.save(d / f"{name}_i3d.npy", np.zeros((4, 10, 8), np.float32))
+        np.save(d / f"{name}_flow.npy", np.ones((4, 10, 8), np.float32))
+    rgb = build_feature_dataset("test", local_path=str(d))
+    assert rgb.filenames == ["Abuse_1_i3d.npy", "Normal_1_i3d.npy"]
+    assert rgb[0]["feature"][..., :8].sum() == 0.0
+    flow = build_feature_dataset("test", local_path=str(d), stream="flow")
+    assert flow.filenames == ["Abuse_1_flow.npy", "Normal_1_flow.npy"]
+    assert (flow[0]["feature"][..., :8] == 1.0).all()
+
+
+def test_two_stream_missing_mate_errors(tmp_path):
+    zip_path = str(tmp_path / "train.zip")
+    make_feature_zip(
+        zip_path, ["Normal_1_i3d.npy", "Abuse_1_i3d.npy", "Abuse_1_flow.npy"]
+    )
+    with pytest.raises(ValueError, match="Normal_1_flow.npy"):
+        build_feature_dataset("train", local_path=zip_path, stream="both")
+
+
+def test_two_stream_clip_count_mismatch_errors(tmp_path):
+    d = tmp_path / "feats"
+    d.mkdir()
+    np.save(d / "Abuse_1_i3d.npy", np.zeros((4, 10, 8), np.float32))
+    np.save(d / "Abuse_1_flow.npy", np.zeros((3, 10, 8), np.float32))
+    ds = build_feature_dataset("test", local_path=str(d), stream="both")
+    with pytest.raises(ValueError, match="disagree"):
+        ds[0]
+
+
+def test_two_stream_test_split_gt_lookup(tmp_path):
+    """GT attaches by the RGB filename / stem in two-stream mode, and the
+    flow-only mode resolves stem-keyed GT too."""
+    d = tmp_path / "feats"
+    d.mkdir()
+    np.save(d / "Fighting_3_i3d.npy", np.zeros((4, 10, 8), np.float32))
+    np.save(d / "Fighting_3_flow.npy", np.zeros((4, 10, 8), np.float32))
+    gt_path = str(tmp_path / "gt.json")
+    json.dump({"Fighting_3": [1.0] * 64}, open(gt_path, "w"))
+    both = build_feature_dataset(
+        "test", local_path=str(d), stream="both", ground_truth_path=gt_path
+    )
+    item = both[0]
+    assert item["feature"].shape == (4, 10, 17)
+    assert item["label"].sum() == 64
+    flow = build_feature_dataset(
+        "test", local_path=str(d), stream="flow", ground_truth_path=gt_path
+    )
+    assert flow[0]["label"].sum() == 64
+
+
+def test_unknown_stream_rejected(tmp_path):
+    zip_path = str(tmp_path / "train.zip")
+    make_feature_zip(zip_path, ["Normal_1_i3d.npy"])
+    with pytest.raises(ValueError, match="stream"):
+        build_feature_dataset("train", local_path=zip_path, stream="rgbd")
+
+
 def test_eval_batches_permutation(tmp_path):
     zip_path = str(tmp_path / "test.zip")
     make_feature_zip(zip_path, ["Normal_1_i3d.npy"], shape=(7, 10, 8))

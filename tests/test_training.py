@@ -53,6 +53,36 @@ def make_batch(rng, bsz=4, t=8):
     )
 
 
+def test_two_stream_features_train_end_to_end(rng, tmp_path):
+    """data.stream=both: paired RGB+flow features (12+12 -> TINY's 24
+    channels) flow through build_feature_dataset -> train_batches -> the
+    jit'd train step, i.e. two-stream fusion training works end to end."""
+    from anomaly_detection_on_video_tpu.data import (
+        build_feature_dataset,
+        train_batches,
+    )
+
+    d = tmp_path / "train"
+    d.mkdir()
+    for name in ["Normal_1", "Normal_2", "Abuse_1", "Abuse_2"]:
+        np.save(d / f"{name}_i3d.npy", rng.randn(10, 8, 12).astype(np.float32))
+        np.save(d / f"{name}_flow.npy", rng.randn(10, 8, 12).astype(np.float32))
+    ds = build_feature_dataset("train", local_path=str(d), stream="both")
+    batch = next(train_batches(ds["normal"], ds["abnormal"], batch_size=2))
+    assert batch["feature"].shape == (4, 10, 8, FDIM)
+
+    model, state = tiny_state()
+    step = make_train_step()
+    state, loss = step(
+        state,
+        jnp.asarray(batch["feature"]),
+        jnp.asarray(batch["normal_labels"]),
+        jnp.asarray(batch["abnormal_labels"]),
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(loss))
+
+
 def test_train_step_decreases_loss_on_fixed_batch(rng):
     model, state = tiny_state()
     feature, nlab, alab = make_batch(rng)
