@@ -16,7 +16,7 @@ for >1 GB videos (reference :131-148), skip-if-exists resumability.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional, Sequence
+from typing import Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -710,6 +710,33 @@ def extract_videos_two_stream(
     return n_done
 
 
+def extract_video_two_stream(
+    rgb_extractor: FeatureExtractor,
+    flow_extractor: FeatureExtractor,
+    video_path: str,
+    chunk_frames: int = CHUNK_FRAMES,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One video -> (rgb, flow) features sharing a single decode pass.
+
+    The per-video analog of extract_videos_two_stream, for serving
+    (infer.py --stream both): each decoded chunk feeds the RGB extractor
+    directly and the flow extractor through its flow transform. Returns
+    ((n_clips, n_crops, 2048), (n_clips, n_crops, 2048)).
+    """
+    if rgb_extractor.stream != "rgb" or flow_extractor.stream != "flow":
+        raise ValueError("extractors must be (rgb, flow) in that order")
+    transform = flow_extractor._host_transform()
+    rgb_chunks, flow_chunks = [], []
+    for chunk in VideoFrameSource(video_path, chunk_frames):
+        rgb_chunks.append(rgb_extractor.extract_frames(chunk))
+        flow_chunks.append(flow_extractor.extract_frames(transform(chunk)))
+    if not rgb_chunks:
+        raise ValueError(
+            f"{video_path}: decoded zero frames (corrupt or empty video)"
+        )
+    return np.vstack(rgb_chunks), np.vstack(flow_chunks)
+
+
 def _cached_chunk(extractor, chunk, path, index, cache, transform=None):
     """Extract one chunk with the extractor's per-chunk cache semantics.
 
@@ -732,6 +759,7 @@ def _cached_chunk(extractor, chunk, path, index, cache, transform=None):
 
 __all__ = [
     "FeatureExtractor",
+    "extract_video_two_stream",
     "extract_videos",
     "extract_videos_pooled",
     "extract_videos_two_stream",

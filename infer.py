@@ -29,7 +29,10 @@ Checkpoints: an orbax directory written by run.py (``--checkpoint``), or a
 torch MGFN state dict (``--torch-weights``, HF layout; ``--official`` for
 the official-release layout, utils/convert.py). Features can be cached and
 reused across runs (``--features-dir``, same on-disk contract as
-extract_features.py).
+extract_features.py). Two-stream checkpoints (trained with
+``data.stream=both``) are detected from the persisted hparams and scored
+on concatenated RGB + optical-flow features from one shared decode pass
+(``--stream`` / ``--flow-backend`` override).
 """
 
 from __future__ import annotations
@@ -395,6 +398,18 @@ def main(argv=None) -> None:
                              "ten-crop row 4; measured 1155 clips/s at the "
                              "default --batch, 1643 at --batch 960, vs 203 "
                              "ten-crop)")
+    parser.add_argument("--stream", default=None,
+                        choices=["rgb", "flow", "both"],
+                        help="feature stream(s) to extract and score: "
+                             "'both' concatenates RGB + optical-flow "
+                             "features (4096-d) for checkpoints trained "
+                             "with data.stream=both; defaults to the "
+                             "checkpoint's persisted data.stream (else rgb)")
+    parser.add_argument("--flow-backend", default=None,
+                        choices=["host", "device", "tvl1"],
+                        help="optical-flow algorithm for --stream flow/both "
+                             "(see extract_features.py); default: device "
+                             "Farneback on TPU, host cv2 elsewhere")
     parser.add_argument("--features-dir", default=None,
                         help="cache/reuse <stem>_i3d.npy features here")
     parser.add_argument("--compile-cache", default=None, metavar="DIR",
@@ -457,9 +472,22 @@ def main(argv=None) -> None:
 
     from anomaly_detection_on_video_tpu.data.extraction import (
         FeatureExtractor,
+        extract_video_two_stream,
         feature_filename,
     )
     from anomaly_detection_on_video_tpu.ops.metrics import frame_level_scores
+
+    stream = args.stream
+    if stream is None and args.checkpoint:
+        # self-describing checkpoints persist their training data config:
+        # a data.stream=both run is scored two-stream without extra flags
+        from anomaly_detection_on_video_tpu.training.checkpoints import (
+            TopKCheckpointer,
+        )
+
+        meta = TopKCheckpointer.load_metadata(args.checkpoint) or {}
+        stream = (meta.get("data") or {}).get("stream")
+    stream = stream or "rgb"
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from extract_features import load_weights
@@ -473,21 +501,29 @@ def main(argv=None) -> None:
         devices = jax.local_devices()
         mesh = make_mesh((len(devices),), ("data",), devices)
 
-    extractor = FeatureExtractor(
-        model_name=args.i3d_model,
-        variables=load_weights(args.i3d_weights, args.i3d_model),
-        dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
-        quantize=(args.dtype == "int8"),
-        batch=args.batch,
-        frames_per_clip=args.frames_per_clip,
-        crops=args.crops,
-        mesh=mesh,
-    )
+    def make_extractor(s):
+        return FeatureExtractor(
+            model_name=args.i3d_model,
+            variables=load_weights(args.i3d_weights, args.i3d_model),
+            dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
+            quantize=(args.dtype == "int8"),
+            batch=args.batch,
+            frames_per_clip=args.frames_per_clip,
+            crops=args.crops,
+            mesh=mesh,
+            stream=s,
+            flow_backend=args.flow_backend if s == "flow" else None,
+        )
+
+    extractor = make_extractor("rgb" if stream != "flow" else "flow")
+    flow_extractor = make_extractor("flow") if stream == "both" else None
     if args.dtype == "int8":
         # pin calibration scales so watcher restarts / later runs quantize
         # identically to any features already cached (data/extraction.py
         # pin_calibration; extract_features.py does the same)
         extractor.pin_calibration(args.features_dir or args.outdir)
+        if flow_extractor is not None:
+            flow_extractor.pin_calibration(args.features_dir or args.outdir)
     apply_fn, variables, eval_step, model_name = build_scorer(args)
 
     if args.warmup > 0:
@@ -506,20 +542,23 @@ def main(argv=None) -> None:
         else:
             # compiles fused preprocessing (per input resolution; 240x320
             # is the dominant UCF-Crime shape) + the I3D forward (shared
-            # by every resolution — the expensive compile)
-            frames = np.zeros(
-                (args.frames_per_clip, 240, 320, 3), np.uint8
-            )
-            extractor.extract_frames(frames)
+            # by every resolution — the expensive compile). Flow streams
+            # consume quantized 2-channel flow; 127 is the zero-flow level
+            for ex in filter(None, (extractor, flow_extractor)):
+                ex.extract_frames(np.full(
+                    (args.frames_per_clip, 240, 320, ex.channels),
+                    127, np.uint8,
+                ))
         # every scorer eval bucket a video of <= --warmup clips can hit
         buckets, n = {eval_bucket(args.warmup)}, 1
         while n <= args.warmup:
             buckets.add(eval_bucket(n))
             n *= 2
         n_crops = 10 if args.crops == "ten" else 1
+        fdim = 4096 if stream == "both" else 2048
         for bucket in sorted(buckets):
             score_features(
-                np.zeros((bucket, n_crops, 2048), np.float32),
+                np.zeros((bucket, n_crops, fdim), np.float32),
                 apply_fn, variables, eval_step,
             )
         print(
@@ -528,33 +567,53 @@ def main(argv=None) -> None:
             flush=True,
         )
 
+    from anomaly_detection_on_video_tpu.utils.npyio import atomic_save
+
+    def cache_path(stem, s):
+        if not args.features_dir:
+            return None
+        # center-crop features get their own cache name: they are (n, 1, C)
+        # and must neither shadow nor be shadowed by the reference
+        # ten-crop contract files (<stem>_i3d.npy, (n, 10, C))
+        name = feature_filename(stem, s)
+        if args.crops == "center":
+            name = name[: -len(".npy")] + "_center.npy"
+        return os.path.join(args.features_dir, name)
+
+    def save_features(path, features):
+        os.makedirs(args.features_dir, exist_ok=True)
+        atomic_save(path, features)
+
+    def load_or_extract(path, stem):
+        """Features for the active stream mode, via the per-stream cache."""
+        if stream == "both":
+            rgb_p, flow_p = cache_path(stem, "rgb"), cache_path(stem, "flow")
+            if rgb_p and os.path.exists(rgb_p) and os.path.exists(flow_p):
+                rgb, flow = np.load(rgb_p), np.load(flow_p)
+            else:
+                rgb, flow = extract_video_two_stream(
+                    extractor, flow_extractor, path
+                )
+                if rgb_p:
+                    save_features(rgb_p, rgb)
+                    save_features(flow_p, flow)
+            # same feature-axis fusion as training's data.stream=both
+            # (data/features._select_stream)
+            return np.concatenate([rgb, flow], axis=-1)
+        feat_path = cache_path(stem, stream)
+        if feat_path and os.path.exists(feat_path):
+            return np.load(feat_path)
+        features = extractor.extract_video(path)
+        if feat_path:
+            save_features(feat_path, features)
+        return features
+
     def process(path):
         import time as _time
 
         t0 = _time.time()
         stem = os.path.splitext(os.path.basename(path))[0]
-        # center-crop features get their own cache name: they are (n, 1, C)
-        # and must neither shadow nor be shadowed by the reference
-        # ten-crop contract files (<stem>_i3d.npy, (n, 10, C))
-        feat_name = feature_filename(stem)
-        if args.crops == "center":
-            feat_name = feat_name[: -len(".npy")] + "_center.npy"
-        feat_path = (
-            os.path.join(args.features_dir, feat_name)
-            if args.features_dir
-            else None
-        )
-        if feat_path and os.path.exists(feat_path):
-            features = np.load(feat_path)
-        else:
-            features = extractor.extract_video(path)
-            if feat_path:
-                from anomaly_detection_on_video_tpu.utils.npyio import (
-                    atomic_save,
-                )
-
-                os.makedirs(args.features_dir, exist_ok=True)
-                atomic_save(feat_path, features)
+        features = load_or_extract(path, stem)
 
         clip_scores = score_features(features, apply_fn, variables, eval_step)
         frame_scores = frame_level_scores(clip_scores, args.frames_per_clip)
@@ -562,6 +621,7 @@ def main(argv=None) -> None:
         out = {
             "video": os.path.basename(path),
             "model": model_name,
+            "stream": stream,
             "n_clips": int(features.shape[0]),
             "frames_per_clip": args.frames_per_clip,
             "clip_scores": np.round(clip_scores, 6).tolist(),

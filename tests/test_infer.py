@@ -30,8 +30,8 @@ def write_video(path, n_frames=40, size=(64, 48), seed=0):
     writer.release()
 
 
-def make_sultani_checkpoint(ckpt_dir):
-    """Tiny-width Sultani checkpoint over the real 2048-d feature interface,
+def make_sultani_checkpoint(ckpt_dir, channels=2048, metadata_extra=None):
+    """Tiny-width Sultani checkpoint over the real feature interface,
     self-describing (hparams.json) so infer needs no --model-config flags."""
     from anomaly_detection_on_video_tpu.models import build_model
     from anomaly_detection_on_video_tpu.training import TrainState
@@ -40,10 +40,10 @@ def make_sultani_checkpoint(ckpt_dir):
     )
     from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
 
-    _, model = build_model("sultani", hidden_dims=(16, 8))
+    _, model = build_model("sultani", hidden_dims=(16, 8), channels=channels)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        jnp.zeros((2, 10, 32, 2049), jnp.float32),
+        jnp.zeros((2, 10, 32, channels + 1), jnp.float32),
         train=True,
     )
     ckpt = TopKCheckpointer(str(ckpt_dir))
@@ -56,7 +56,8 @@ def make_sultani_checkpoint(ckpt_dir):
     ckpt.write_metadata(
         {
             "model_name": "sultani",
-            "model_config": {"hidden_dims": [16, 8]},
+            "model_config": {"hidden_dims": [16, 8], "channels": channels},
+            **(metadata_extra or {}),
         }
     )
 
@@ -92,3 +93,59 @@ def test_infer_main_data_parallel_center_crop(tmp_path):
     # center-crop features carry their own cache name, (n, 1, 2048)
     feats = np.load(tmp_path / "feats" / "Abuse_demo_i3d_center.npy")
     assert feats.shape == (3, 1, 2048)
+
+
+def test_infer_main_two_stream_from_checkpoint_hparams(tmp_path):
+    """A checkpoint trained with data.stream=both is scored two-stream with
+    NO --stream flag: infer reads the persisted data config, extracts RGB +
+    flow from one decode pass, concatenates to 4096-d, and scores."""
+    import infer
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    write_video(videos / "Abuse_demo.avi", n_frames=40)
+    make_sultani_checkpoint(
+        tmp_path / "ckpts",
+        channels=4096,
+        metadata_extra={"data": {"stream": "both"}},
+    )
+
+    outdir = tmp_path / "scores"
+    infer.main(
+        [
+            "--videos", str(videos),
+            "--checkpoint", str(tmp_path / "ckpts"),
+            "--outdir", str(outdir),
+            "--dtype", "float32",
+            "--crops", "center",
+            "--batch", "1",
+            "--flow-backend", "host",
+            "--features-dir", str(tmp_path / "feats"),
+        ]
+    )
+    out = json.loads((outdir / "Abuse_demo_scores.json").read_text())
+    assert out["stream"] == "both"
+    assert out["n_clips"] == 3
+    assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
+    # both streams cached under their own names
+    rgb = np.load(tmp_path / "feats" / "Abuse_demo_i3d_center.npy")
+    flow = np.load(tmp_path / "feats" / "Abuse_demo_flow_center.npy")
+    assert rgb.shape == (3, 1, 2048)
+    assert flow.shape == (3, 1, 2048)
+
+    # second run hits the cache (no extraction) and scores identically
+    (outdir / "Abuse_demo_scores.json").unlink()
+    infer.main(
+        [
+            "--videos", str(videos),
+            "--checkpoint", str(tmp_path / "ckpts"),
+            "--outdir", str(outdir),
+            "--dtype", "float32",
+            "--crops", "center",
+            "--batch", "1",
+            "--flow-backend", "host",
+            "--features-dir", str(tmp_path / "feats"),
+        ]
+    )
+    out2 = json.loads((outdir / "Abuse_demo_scores.json").read_text())
+    assert out2["clip_scores"] == out["clip_scores"]
