@@ -99,6 +99,35 @@ def smoke_device_flow():
     return f"translation est ({est[0]:+.2f}, {est[1]:+.2f}) vs (-3, +2)"
 
 
+def smoke_tvl1_flow():
+    """Device TV-L1 (ops/tvl1.py) on the real compiler: fori_loop duality
+    iterations + gather warps, translation recovery at TV-L1's (tight)
+    tolerance, and a rough frames/s figure."""
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.ops.tvl1 import compute_flow_tvl1
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(240, 320).astype(np.float32)
+    for _ in range(30):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
+    base = (base - base.min()) / (np.ptp(base) + 1e-9) * 255
+    shifted = np.roll(base, (2, -3), axis=(0, 1))
+    frames = np.repeat(
+        np.stack([base] + [shifted] * 9).astype(np.uint8)[..., None],
+        3, axis=-1,
+    )
+    x = jnp.asarray(frames)
+    flow = np.asarray(compute_flow_tvl1(x)) * 20.0  # compile + correctness
+    est = np.median(flow[1, 20:-20, 20:-20].reshape(-1, 2), axis=0)
+    assert abs(est[0] - (-3)) < 0.1 and abs(est[1] - 2) < 0.1, est
+    t0 = time.time()
+    sync(compute_flow_tvl1(x))
+    rate = (frames.shape[0] - 1) / (time.time() - t0)
+    return f"est ({est[0]:+.2f}, {est[1]:+.2f}) vs (-3, +2); {rate:.0f} fps"
+
+
 def smoke_train_step():
     import jax
     import jax.numpy as jnp
@@ -199,6 +228,7 @@ def main() -> None:
     check("extraction pipeline", smoke_extraction)
     check("fused Pallas kernels (opt-in)", smoke_fused_kernels)
     check("device optical flow", smoke_device_flow)
+    check("device TV-L1 flow", smoke_tvl1_flow)
     check("MGFN train step", smoke_train_step)
     check("int8 extraction (opt-in)", smoke_int8)
     check("int8 flow stream (opt-in)", smoke_int8_flow)
