@@ -774,6 +774,7 @@ def extract_videos_pooled(
     video_paths: Sequence[str],
     outdir: str,
     extractor: Optional[FeatureExtractor] = None,
+    flow_extractor: Optional[FeatureExtractor] = None,
     decode_workers: Optional[int] = None,
     queue_chunks: int = 3,
     chunk_frames: int = CHUNK_FRAMES,
@@ -786,15 +787,22 @@ def extract_videos_pooled(
     A single decode stream (~23 clips/s MJPEG) cannot feed the chip
     (~198 clips/s), so ``decode_workers`` videos decode concurrently into a
     bounded chunk queue while the device consumes serially. Per-video chunk
-    order is preserved by (video, chunk_idx) assembly; outputs, idempotency
-    and per-chunk resumability semantics match extract_videos: large videos
-    (>1 GB, reference extract_features.py:131-148) get per-chunk feature
-    caches, so an interrupted pooled run resumes without re-extracting, and
-    their in-flight features live on disk rather than RAM (bounded memory).
-    ``queue_chunks`` bounds host RAM for raw frames (a full 3,008-frame
-    240x320 chunk is ~0.7 GB). The flow stream is supported: the Farneback
-    transform runs inside the decode workers (host-parallel, matching
-    extract_video's semantics).
+    order is preserved by (savepath, chunk_idx) assembly; outputs,
+    idempotency and per-chunk resumability semantics match extract_videos:
+    large videos (>1 GB, reference extract_features.py:131-148) get
+    per-chunk feature caches, so an interrupted pooled run resumes without
+    re-extracting, and their in-flight features live on disk rather than
+    RAM (bounded memory). ``queue_chunks`` bounds host RAM for raw frames
+    (a full 3,008-frame 240x320 chunk is ~0.7 GB). The flow stream is
+    supported: the flow transform runs inside the decode workers
+    (host-parallel, matching extract_video's semantics).
+
+    Passing ``flow_extractor`` makes this the pooled two-stream driver
+    (``extractor`` must then be the RGB one): each decoded chunk feeds both
+    streams, writing ``<stem>_i3d.npy`` AND ``<stem>_flow.npy`` per video
+    — the concurrent-decode analog of extract_videos_two_stream, which
+    decodes serially. Idempotency is per stream (a video re-decodes only
+    if either output is missing, and only missing streams re-extract).
 
     Shutdown safety: producers blocked on a full queue check a stop event
     with timeout-based puts, so an error (or Ctrl-C) in the consumer cannot
@@ -809,24 +817,45 @@ def extract_videos_pooled(
         # docs/ROOFLINE.md): default to one decode stream per core, capped
         decode_workers = min(8, os.cpu_count() or 1)
     extractor = extractor or FeatureExtractor(**extractor_kwargs)
+    if flow_extractor is not None:
+        if extractor.stream != "rgb" or flow_extractor.stream != "flow":
+            raise ValueError("extractors must be (rgb, flow) in that order")
+        if extractor.crops != flow_extractor.crops:
+            raise ValueError(
+                "two-stream extractors must share a crop protocol, got "
+                f"{extractor.crops!r} vs {flow_extractor.crops!r}"
+            )
     os.makedirs(outdir, exist_ok=True)
     record_crop_protocol(outdir, extractor.crops)
-    if extractor.stream == "flow":
-        record_flow_backend(outdir, extractor.flow_backend)
-    extractor.pin_calibration(outdir)
-    transform = extractor._host_transform()
+    # sinks: the per-stream (extractor, transform) pairs every decoded
+    # chunk feeds; one for single-stream runs, (rgb, flow) for two-stream
+    sinks = {extractor.stream: extractor}
+    if flow_extractor is not None:
+        sinks["flow"] = flow_extractor
+    if "flow" in sinks:
+        record_flow_backend(outdir, sinks["flow"].flow_backend)
+    for ex in sinks.values():
+        ex.pin_calibration(outdir)
+    transforms = {name: ex._host_transform() for name, ex in sinks.items()}
 
+    def savepath_for(path, name):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return os.path.join(outdir, feature_filename(stem, name))
+
+    # todo: per video, the streams whose outputs are missing
     todo = []
     for path in video_paths:
-        stem = os.path.splitext(os.path.basename(path))[0]
-        savepath = os.path.join(outdir, feature_filename(stem, extractor.stream))
-        if not os.path.exists(savepath):
+        needed = [
+            name for name in sinks
+            if not os.path.exists(savepath_for(path, name))
+        ]
+        if needed:
             cache = (
                 outdir
                 if chunk_cache_for_large and is_large_video(path)
                 else None
             )
-            todo.append((path, savepath, cache))
+            todo.append((path, tuple(needed), cache))
     if not todo:
         return 0
 
@@ -843,30 +872,36 @@ def extract_videos_pooled(
                 continue
         return False
 
-    def producer(path: str, savepath: str, cache: Optional[str]) -> None:
+    def producer(path: str, needed, cache: Optional[str]) -> None:
         try:
             index = -1
             for index, chunk in enumerate(VideoFrameSource(path, chunk_frames)):
-                cached = cache is not None and os.path.exists(
-                    extractor.chunk_cache_path(cache, path, index)
-                )
-                if transform is not None and not cached:
-                    # skip the (expensive) flow transform for chunks the
-                    # consumer will restore from its per-chunk cache anyway
-                    chunk = transform(chunk)
-                if not _put(("chunk", savepath, index, (path, cache, chunk))):
+                payload = {}
+                for name in needed:
+                    cached = cache is not None and os.path.exists(
+                        sinks[name].chunk_cache_path(cache, path, index)
+                    )
+                    if cached:
+                        # the consumer restores this chunk from its
+                        # per-chunk cache; skip the (expensive) transform
+                        payload[name] = None
+                    elif transforms[name] is not None:
+                        payload[name] = transforms[name](chunk)
+                    else:
+                        payload[name] = chunk
+                if not _put(("chunk", path, index, (cache, payload))):
                     return
             if index < 0:
                 raise ValueError(
                     f"{path}: decoded zero frames (corrupt or empty video)"
                 )
-            _put(("done", savepath, index + 1, None))
+            _put(("done", path, index + 1, needed))
         except BaseException as exc:
-            _put(("error", savepath, 0, exc))
+            _put(("error", path, 0, exc))
 
     pool = ThreadPoolExecutor(max_workers=max(1, decode_workers))
-    for path, savepath, cache in todo:
-        pool.submit(producer, path, savepath, cache)
+    for path, needed, cache in todo:
+        pool.submit(producer, path, needed, cache)
 
     bar = None
     if progress:
@@ -877,64 +912,84 @@ def extract_videos_pooled(
         except ImportError:
             pass
 
-    # per-video in-flight state: cached chunks are kept as paths (features on
-    # disk), uncached ones as arrays — RAM stays bounded for large videos
+    # per-(video, stream) in-flight state: cached chunks are kept as paths
+    # (features on disk), uncached ones as arrays — RAM stays bounded for
+    # large videos
     partial: dict = {}
     totals: dict = {}
+    remaining = {path: set(needed) for path, needed, _ in todo}
     pending = None  # 1-deep device pipeline, as in extract_video
 
     def resolve(entry) -> None:
         if entry is None:
             return
-        res_savepath, res_index, res_chunk_path, dispatched = entry
-        feats = extractor.materialize_features(dispatched)
+        res_savepath, res_index, res_chunk_path, ex, dispatched = entry
+        feats = ex.materialize_features(dispatched)
         if res_chunk_path is not None:
             atomic_save(res_chunk_path, feats)
             partial.setdefault(res_savepath, {})[res_index] = res_chunk_path
         else:
             partial.setdefault(res_savepath, {})[res_index] = feats
 
+    def assemble(path, name) -> bool:
+        """Write <savepath> if every chunk of (path, stream) is in."""
+        savepath = savepath_for(path, name)
+        chunks = partial.get(savepath, {})
+        if savepath not in totals or len(chunks) != totals[savepath]:
+            return False
+        feats = np.vstack(
+            [
+                np.load(c) if isinstance(c, str) else c
+                for c in (chunks[i] for i in range(totals[savepath]))
+            ]
+        )
+        atomic_save(savepath, feats)
+        partial.pop(savepath, None)
+        return True
+
     n_done = 0
     try:
         while n_done < len(todo):
-            kind, savepath, index, payload = chunk_queue.get()
+            kind, path, index, payload = chunk_queue.get()
             if kind == "error":
                 raise payload
             if kind == "chunk":
-                path, cache, chunk = payload
-                chunk_path = None
-                if cache is not None:
-                    chunk_path = extractor.chunk_cache_path(cache, path, index)
-                if chunk_path is not None and os.path.exists(chunk_path):
-                    resolve(pending)
-                    pending = None
-                    partial.setdefault(savepath, {})[index] = chunk_path
-                else:
-                    # dispatch this chunk before blocking on the previous
-                    # one: its h2d/compute overlaps the readback (and the
-                    # next queue wait overlaps its compute)
-                    prev = pending
-                    pending = (
-                        savepath, index, chunk_path,
-                        extractor.dispatch_frames(chunk),
-                    )
-                    resolve(prev)
+                cache, chunks_by_name = payload
+                for name, chunk in chunks_by_name.items():
+                    ex = sinks[name]
+                    savepath = savepath_for(path, name)
+                    chunk_path = None
+                    if cache is not None:
+                        chunk_path = ex.chunk_cache_path(cache, path, index)
+                    if chunk is None or (
+                        chunk_path is not None and os.path.exists(chunk_path)
+                    ):
+                        resolve(pending)
+                        pending = None
+                        partial.setdefault(savepath, {})[index] = chunk_path
+                    else:
+                        # dispatch this chunk before blocking on the
+                        # previous one: its h2d/compute overlaps the
+                        # readback (and the next queue wait overlaps its
+                        # compute)
+                        prev = pending
+                        pending = (
+                            savepath, index, chunk_path,
+                            ex, ex.dispatch_frames(chunk),
+                        )
+                        resolve(prev)
             else:
-                totals[savepath] = index
+                for name in payload:
+                    totals[savepath_for(path, name)] = index
                 # a video's "done" follows all its chunks: resolving here
                 # guarantees its assembly below sees every chunk
                 resolve(pending)
                 pending = None
-            chunks = partial.get(savepath, {})
-            if savepath in totals and len(chunks) == totals[savepath]:
-                feats = np.vstack(
-                    [
-                        np.load(c) if isinstance(c, str) else c
-                        for c in (chunks[i] for i in range(totals[savepath]))
-                    ]
-                )
-                atomic_save(savepath, feats)
-                partial.pop(savepath, None)
+            for name in list(remaining.get(path, ())):
+                if assemble(path, name):
+                    remaining[path].discard(name)
+            if path in remaining and not remaining[path]:
+                remaining.pop(path)
                 n_done += 1
                 if bar is not None:
                     bar.update(1)

@@ -260,18 +260,17 @@ def main(argv=None) -> None:
                   file=sys.stderr)
             decode_workers = 1
         if args.stream == "both":
-            if args.decode_workers is not None and args.decode_workers > 1:
-                # the shared-decode two-stream path is serial by design (one
-                # decode pass feeds both extractors in order); don't let the
-                # --decode-workers help text imply concurrent decode here
-                print(
-                    "--stream both decodes serially (shared decode pass); "
-                    "--decode-workers is ignored",
-                    file=sys.stderr,
+            if decode_workers > 1:
+                # pooled two-stream: each decoded chunk feeds both streams,
+                # with decode_workers videos decoding concurrently
+                n = extract_videos_pooled(
+                    videos, outdir, extractor, flow_extractor=flow_extractor,
+                    decode_workers=decode_workers,
                 )
-            n = extract_videos_two_stream(
-                videos, outdir, extractor, flow_extractor
-            )
+            else:
+                n = extract_videos_two_stream(
+                    videos, outdir, extractor, flow_extractor
+                )
         elif decode_workers > 1:
             n = extract_videos_pooled(
                 videos, outdir, extractor, decode_workers=decode_workers

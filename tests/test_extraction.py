@@ -334,6 +334,76 @@ def test_two_stream_shared_decode(tmp_path, rng):
                                      progress=False) == 0
 
 
+def test_pooled_two_stream_matches_serial(tmp_path, rng):
+    """extract_videos_pooled(flow_extractor=...): the concurrent-decode
+    two-stream driver matches the serial shared-decode path bit-exactly,
+    across multiple videos and multi-chunk assembly, and resumes
+    per-stream (an outdir holding only the RGB outputs re-extracts only
+    flow)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        FeatureExtractor,
+        extract_videos_pooled,
+        extract_videos_two_stream,
+    )
+
+    videos = []
+    for i in range(2):
+        path = str(tmp_path / f"v{i}.avi")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64)
+        )
+        for _ in range(40):  # 2 chunks at chunk_frames=32
+            writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+        writer.release()
+        videos.append(path)
+
+    rgb_ex = FeatureExtractor(dtype=jnp.float32, batch=10)
+    flow_ex = FeatureExtractor(
+        dtype=jnp.float32, batch=10, stream="flow", flow_backend="host"
+    )
+    serial, pooled = str(tmp_path / "serial"), str(tmp_path / "pooled")
+    # same chunk_frames on both paths: flow framing is chunk-relative
+    # (frame 0 of each chunk gets zero flow), so chunking is part of the
+    # contract being compared
+    assert extract_videos_two_stream(
+        videos, serial, rgb_ex, flow_ex, chunk_frames=32, progress=False
+    ) == 2
+    assert extract_videos_pooled(
+        videos, pooled, rgb_ex, flow_extractor=flow_ex,
+        decode_workers=2, chunk_frames=32, progress=False,
+    ) == 2
+    for i in range(2):
+        for name in ("_i3d.npy", "_flow.npy"):
+            a = np.load(os.path.join(serial, f"v{i}{name}"))
+            b = np.load(os.path.join(pooled, f"v{i}{name}"))
+            np.testing.assert_array_equal(a, b)
+
+    # per-stream resume: delete the flow outputs; only flow re-extracts
+    # (the pooled consumer goes through dispatch_frames)
+    calls = []
+    orig = flow_ex.dispatch_frames
+    rgb_orig = rgb_ex.dispatch_frames
+    for i in range(2):
+        os.remove(os.path.join(pooled, f"v{i}_flow.npy"))
+    flow_ex.dispatch_frames = lambda c: calls.append("flow") or orig(c)
+    rgb_ex.dispatch_frames = lambda c: calls.append("rgb") or rgb_orig(c)
+    try:
+        assert extract_videos_pooled(
+            videos, pooled, rgb_ex, flow_extractor=flow_ex,
+            decode_workers=2, progress=False,
+        ) == 2
+    finally:
+        del flow_ex.dispatch_frames, rgb_ex.dispatch_frames
+    assert "rgb" not in calls and calls.count("flow") == 2
+    # fully idempotent third run
+    assert extract_videos_pooled(
+        videos, pooled, rgb_ex, flow_extractor=flow_ex, progress=False
+    ) == 0
+
+
 def test_quantized_extractor_matches_full_precision(rng):
     """int8 extraction (quantize=True): first-chunk calibration, re-jit,
     and features that stay close to the f32 pipeline (the int8 MXU path
