@@ -842,7 +842,7 @@ def extract_videos_pooled(
         stem = os.path.splitext(os.path.basename(path))[0]
         return os.path.join(outdir, feature_filename(stem, name))
 
-    # todo: per video, the streams whose outputs are missing
+    # work list: per video, the streams whose outputs are missing
     todo = []
     for path in video_paths:
         needed = [

@@ -175,25 +175,43 @@ def bench_e2e(extractor, n_videos: int = 4, frames_per_video: int = 640):
 def wait_for_device(max_wait_s: float = 1800.0, poll_s: float = 60.0):
     """Retry backend init until a device answers (or max_wait_s elapses).
 
-    The axon TPU tunnel goes down transiently for minutes-to-hours
-    (raising UNAVAILABLE from jax.devices()); a bench launched into an
-    outage should wait it out rather than die without a number.
+    The axon TPU tunnel goes down transiently for minutes-to-hours, in two
+    modes: jax.devices() raising UNAVAILABLE, or HANGING in backend init.
+    A bench launched into an outage should wait it out rather than die (or
+    hang forever) without a number — so each attempt first probes in a
+    THROWAWAY subprocess with a timeout (the hang mode cannot be unwound
+    in-process: backend-init state is cached), and only a successful probe
+    is followed by in-process init.
     """
-    import jax
+    import subprocess
 
     deadline = time.time() + max_wait_s
     while True:
         try:
-            return jax.devices()
-        except RuntimeError as exc:  # backend init failure (not code bugs)
-            if time.time() >= deadline:
-                raise
-            print(
-                f"device backend unavailable ({exc}); retrying in "
-                f"{poll_s:.0f}s",
-                file=sys.stderr,
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                text=True,
+                timeout=max(2 * poll_s, 120.0),
             )
-            time.sleep(poll_s)
+            ok = probe.returncode == 0
+            reason = probe.stderr.strip().splitlines()[-1:] or ["unknown"]
+        except subprocess.TimeoutExpired:
+            ok, reason = False, ["probe timed out (backend init hang)"]
+        if ok:
+            import jax
+
+            return jax.devices()
+        if time.time() >= deadline:
+            raise RuntimeError(
+                f"no device answered within {max_wait_s:.0f}s: {reason[0]}"
+            )
+        print(
+            f"device backend unavailable ({reason[0]}); retrying in "
+            f"{poll_s:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
 
 
 def main() -> None:
