@@ -51,6 +51,28 @@ def is_normal(filename: str) -> bool:
     return "Normal" in filename
 
 
+def video_class(filename: str) -> str:
+    """Anomaly class encoded in a UCF-Crime filename.
+
+    UCF-Crime names videos ``<Class><index>_x264`` (``Abuse028_x264``,
+    ``RoadAccidents133_x264``) and normal videos ``Normal_Videos_*``: the
+    class is the leading alphabetic run of the basename, with every normal
+    video mapped to "Normal" by the reference's labeling rule
+    (src/dataset.py:54,129). Feeds the per-class evaluation breakdown
+    (EvalResult.report) — absent from the reference, which reports only the
+    pooled frame AUC (src/runner.py:73-76).
+    """
+    stem = os.path.basename(filename)
+    if is_normal(stem):
+        return "Normal"
+    head = []
+    for ch in stem:
+        if not ch.isalpha():
+            break
+        head.append(ch)
+    return "".join(head) or stem
+
+
 @dataclass
 class FeatureDataset:
     """A list of named feature arrays with lazy zip-backed loading.

@@ -91,6 +91,58 @@ def pr_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     return auc(recall, precision)
 
 
+def false_alarm_rate(
+    labels: np.ndarray, scores: np.ndarray, threshold: float = 0.5
+) -> float:
+    """Fraction of negative frames scored above ``threshold`` (FP / (FP+TN)).
+
+    The VAD literature's FAR metric (Sultani CVPR'18 §6, reported at 0.5 by
+    the RTFM and MGFN papers), conventionally computed over the normal test
+    videos only — pass the normal-video slice for that convention. Absent
+    from the reference (src/runner.py:62-79 reports threshold-free AUCs
+    only). NaN when there are no negative frames.
+    """
+    labels = np.asarray(labels, dtype=np.float64).ravel()
+    scores = np.asarray(scores, dtype=np.float64).ravel()
+    negative = labels == 0
+    if not negative.any():
+        return float("nan")
+    return float(np.mean(scores[negative] > threshold))
+
+
 def frame_level_scores(clip_scores: np.ndarray, frames_per_clip: int = 16) -> np.ndarray:
     """Repeat per-clip scores to frame level (src/runner.py:66-68)."""
     return np.repeat(np.asarray(clip_scores).ravel(), frames_per_clip)
+
+
+def anomaly_events(
+    frame_scores: np.ndarray, threshold: float, min_frames: int = 1
+) -> list:
+    """Contiguous frame runs scoring above ``threshold`` -> event windows.
+
+    The inverse of the GT builder (data/gt.py, make_gt_ucf.py), which turns
+    ``(start, end)`` event windows into frame labels: deployment consumes
+    events, not frame scores. Returns, per event, inclusive
+    ``start_frame``/``end_frame`` (the UCF-Crime annotation convention,
+    reference make_gt_ucf.py:42-50), the frame count, and the peak/mean
+    score inside the window. Runs shorter than ``min_frames`` are dropped
+    (debounce). Thresholds come from ``scripts/operating_point.py``.
+    """
+    scores = np.asarray(frame_scores, dtype=np.float64).ravel()
+    above = scores > threshold
+    edges = np.flatnonzero(np.diff(np.r_[0, above.astype(np.int8), 0]))
+    events = []
+    for start, end in zip(edges[::2], edges[1::2]):  # end exclusive here
+        if end - start < min_frames:
+            continue
+        window = scores[start:end]
+        events.append(
+            {
+                "start_frame": int(start),
+                "end_frame": int(end - 1),
+                "frames": int(end - start),
+                "peak": round(float(window.max()), 6),
+                "mean": round(float(window.mean()), 6),
+            }
+        )
+    return events

@@ -22,7 +22,7 @@ import dataclasses
 import functools
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -298,9 +298,12 @@ def evaluate(
                 per_video[item["filename"]] = scores[k, : lengths[k], 0]
 
     all_preds, all_labels = [], []
+    videos: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for filename, label in order:
-        all_preds.append(frame_level_scores(per_video[filename], frames_per_clip))
+        frame_preds = frame_level_scores(per_video[filename], frames_per_clip)
+        all_preds.append(frame_preds)
         all_labels.append(label)
+        videos[filename] = (frame_preds, label)
     preds = np.concatenate(all_preds)
     labels = np.concatenate(all_labels)
     if preds.shape != labels.shape:
@@ -313,6 +316,7 @@ def evaluate(
         pr_auc=pr_auc(labels, preds),
         preds=preds,
         labels=labels,
+        videos=videos,
     )
 
 
@@ -337,6 +341,105 @@ class EvalResult:
     pr_auc: float
     preds: np.ndarray
     labels: np.ndarray
+    # per-video (frame_scores, frame_labels), in dataset order — feeds the
+    # per-class/FAR breakdown (report); None for hand-built results
+    videos: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]] = None
+
+    def false_alarm_rate(self, threshold: float = 0.5) -> float:
+        """FAR@threshold over the normal test videos (the VAD literature's
+        convention — Sultani CVPR'18 §6; RTFM/MGFN papers report it at 0.5).
+        Falls back to all negative frames when per-video data is absent."""
+        from ..data.features import is_normal
+        from ..ops.metrics import false_alarm_rate
+
+        if self.videos is None:
+            return false_alarm_rate(self.labels, self.preds, threshold)
+        normal = [
+            (s, l) for name, (s, l) in self.videos.items() if is_normal(name)
+        ]
+        if not normal:
+            return float("nan")
+        scores = np.concatenate([s for s, _ in normal])
+        labels = np.concatenate([l for _, l in normal])
+        return false_alarm_rate(labels, scores, threshold)
+
+    def report(self, threshold: float = 0.5) -> Dict[str, Any]:
+        """Literature-standard breakdown beyond the reference's two AUCs.
+
+        The reference reports only the pooled frame-level ROC/PR AUC
+        (src/runner.py:73-76); UCF-Crime papers additionally report the
+        false-alarm rate on normal videos and per-class behavior. Returns:
+
+        - ``rec_auc`` / ``pr_auc``: the pooled metrics (as logged);
+        - ``far``: FAR@threshold over normal videos;
+        - ``abnormal_auc``: ROC AUC over the abnormal videos only (how well
+          anomalies localize *within* anomalous videos);
+        - ``per_class``: for each anomaly class (data.features.video_class),
+          ROC AUC over that class's videos + all normal videos (the
+          standard per-class protocol) and its video/frame counts.
+
+        Class slices whose labels are single-valued get ``auc: None``
+        (ROC undefined there).
+        """
+        from ..data.features import video_class
+        from ..ops.metrics import roc_auc
+
+        if self.videos is None:
+            raise ValueError("report() needs per-video data (videos=None)")
+
+        def safe_auc(labels: np.ndarray, scores: np.ndarray):
+            if labels.min() == labels.max():
+                return None
+            return roc_auc(labels, scores)
+
+        by_class: Dict[str, list] = {}
+        for name, (scores, labels) in self.videos.items():
+            by_class.setdefault(video_class(name), []).append(
+                (scores, np.asarray(labels))
+            )
+        normal = by_class.pop("Normal", [])
+        normal_scores = (
+            np.concatenate([s for s, _ in normal]) if normal else
+            np.zeros((0,))
+        )
+        normal_labels = (
+            np.concatenate([l for _, l in normal]) if normal else
+            np.zeros((0,))
+        )
+        per_class: Dict[str, Dict[str, Any]] = {}
+        abnormal_scores, abnormal_labels = [], []
+        for cls in sorted(by_class):
+            items = by_class[cls]
+            scores = np.concatenate([s for s, _ in items])
+            labels = np.concatenate([l for _, l in items])
+            abnormal_scores.append(scores)
+            abnormal_labels.append(labels)
+            cls_auc = safe_auc(
+                np.concatenate([labels, normal_labels]),
+                np.concatenate([scores, normal_scores]),
+            )
+            per_class[cls] = {
+                "auc": cls_auc,
+                "videos": len(items),
+                "frames": int(labels.size),
+            }
+        out: Dict[str, Any] = {
+            "rec_auc": self.rec_auc,
+            "pr_auc": self.pr_auc,
+            "far": self.false_alarm_rate(threshold),
+            "far_threshold": threshold,
+            "normal_videos": len(normal),
+            "abnormal_videos": sum(v["videos"] for v in per_class.values()),
+            "per_class": per_class,
+        }
+        if abnormal_scores:
+            out["abnormal_auc"] = safe_auc(
+                np.concatenate(abnormal_labels),
+                np.concatenate(abnormal_scores),
+            )
+        else:
+            out["abnormal_auc"] = None
+        return out
 
     def save_figure(self, path: str) -> None:
         """Prediction/GT overlay + ROC curve figure (the reference's W&B
@@ -621,6 +724,7 @@ class VideoAnomalyDetectionRunner:
                 )
                 metrics["valid/rec_auc"] = last_eval.rec_auc
                 metrics["valid/pr_auc"] = last_eval.pr_auc
+                metrics["valid/far"] = last_eval.false_alarm_rate()
                 if figure_dir:
                     try:
                         fig_path = os.path.join(

@@ -25,6 +25,11 @@ with /healthz, /stats and /scores/<stem> alongside:
     python infer.py --checkpoint ckpts/ --outdir scores --serve 8080 \
         --crops center --compile-cache /var/xla_cache
 
+``--threshold T`` (pick T with scripts/operating_point.py) additionally
+emits anomaly *events* — contiguous frame windows scoring above T, with
+inclusive start/end frames (the UCF annotation convention), peak and mean —
+in the score JSON and HTTP responses; ``--min-event-frames`` debounces.
+
 Checkpoints: an orbax directory written by run.py (``--checkpoint``), or a
 torch MGFN state dict (``--torch-weights``, HF layout; ``--official`` for
 the official-release layout, utils/convert.py). Features can be cached and
@@ -423,6 +428,14 @@ def main(argv=None) -> None:
                              "extract_features.py --data-parallel; scores "
                              "are bit-equal to single-device)")
     parser.add_argument("--frames-per-clip", type=int, default=16)
+    parser.add_argument("--threshold", type=float, default=None,
+                        help="emit anomaly EVENTS (contiguous frame runs "
+                             "scoring above this) in the score JSON / HTTP "
+                             "response — the deployment output; pick the "
+                             "value with scripts/operating_point.py")
+    parser.add_argument("--min-event-frames", type=int, default=1,
+                        help="drop events shorter than this many frames "
+                             "(debounce; only with --threshold)")
     parser.add_argument("--figure", action="store_true",
                         help="write a <stem>_scores.png overlay per video")
     parser.add_argument("--watch", action="store_true",
@@ -475,7 +488,10 @@ def main(argv=None) -> None:
         extract_video_two_stream,
         feature_filename,
     )
-    from anomaly_detection_on_video_tpu.ops.metrics import frame_level_scores
+    from anomaly_detection_on_video_tpu.ops.metrics import (
+        anomaly_events,
+        frame_level_scores,
+    )
 
     stream = args.stream
     if stream is None and args.checkpoint:
@@ -628,6 +644,13 @@ def main(argv=None) -> None:
             "frame_scores": np.round(frame_scores, 6).tolist(),
             "latency_s": round(_time.time() - t0, 3),
         }
+        if args.threshold is not None:
+            # deployment output: thresholded event windows, not raw scores
+            # (the inverse of the GT builder's window -> frame expansion)
+            out["threshold"] = args.threshold
+            out["events"] = anomaly_events(
+                frame_scores, args.threshold, args.min_event_frames
+            )
         out_path = os.path.join(args.outdir, f"{stem}_scores.json")
         # atomic: the HTTP endpoint reads score JSONs concurrently, and a
         # kill mid-write must not leave a truncated file that poisons the
@@ -649,6 +672,8 @@ def main(argv=None) -> None:
 
             fig, ax = plt.subplots(figsize=(12, 3))
             ax.plot(frame_scores)
+            if args.threshold is not None:
+                ax.axhline(args.threshold, ls="--", lw=1, color="crimson")
             ax.set_ylim(0, 1.02)
             ax.set_xlabel("frame")
             ax.set_ylabel("anomaly score")

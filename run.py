@@ -230,8 +230,13 @@ def main(argv=None) -> None:
             "step": int(runner.state.step),
             "valid/rec_auc": result.rec_auc,
             "valid/pr_auc": result.pr_auc,
+            "valid/far": result.false_alarm_rate(),
         }
         runner._log(metrics, int(runner.state.step))
+        if trainer_cfg.get("eval_report"):
+            # literature-standard breakdown (per-class AUC, abnormal-subset
+            # AUC, FAR on normal videos) — EvalResult.report
+            metrics["report"] = result.report()
         print(json.dumps(metrics))
         return
 

@@ -10,6 +10,8 @@ operating point. This joins ``infer.py`` score JSONs with the GT-builder's
 - the best-F1 threshold (precision/recall/F1 at it)
 - the threshold at a target false-positive rate (``--target-fpr``)
 - per-video max scores for triage
+- with ``--per-class``: the literature-standard breakdown (per-class AUC
+  vs all normal videos, abnormal-subset AUC, FAR@0.5 on normal videos)
 
     python scripts/operating_point.py --scores scores/ \
         --gt ground_truth.json --target-fpr 0.01
@@ -29,8 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def join_scores_with_gt(scores_dir: str, gt: dict):
-    """Concatenate frame scores/labels over every video present in both."""
-    all_scores, all_labels, per_video = [], [], {}
+    """Per-video (frame scores, frame labels) for videos present in both."""
+    videos = {}
     for path in sorted(glob.glob(os.path.join(scores_dir, "*_scores.json"))):
         with open(path) as f:
             rec = json.load(f)
@@ -43,14 +45,14 @@ def join_scores_with_gt(scores_dir: str, gt: dict):
         frames = np.asarray(rec["frame_scores"], np.float64)
         labels = np.asarray(labels, np.float64)
         n = min(len(frames), len(labels))  # loop-pad vs annotation tails
-        all_scores.append(frames[:n])
-        all_labels.append(labels[:n])
-        per_video[stem] = float(frames.max()) if n else 0.0
-    if not all_scores:
+        videos[stem] = (frames[:n], labels[:n])
+    if not videos:
         raise SystemExit(
             f"no video in {scores_dir!r} matches a ground-truth key"
         )
-    return np.concatenate(all_scores), np.concatenate(all_labels), per_video
+    scores = np.concatenate([s for s, _ in videos.values()])
+    labels = np.concatenate([l for _, l in videos.values()])
+    return scores, labels, videos
 
 
 def operating_points(labels, scores, target_fpr=0.01):
@@ -106,17 +108,32 @@ def main(argv=None) -> None:
     parser.add_argument("--target-fpr", type=float, default=0.01)
     parser.add_argument("--per-video", action="store_true",
                         help="include per-video max frame scores")
+    parser.add_argument("--per-class", action="store_true",
+                        help="include the literature-standard breakdown "
+                             "(per-class AUC, abnormal-subset AUC, FAR@0.5 "
+                             "on normal videos — EvalResult.report)")
     args = parser.parse_args(argv)
 
     with open(args.gt) as f:
         gt = json.load(f)
-    scores, labels, per_video = join_scores_with_gt(args.scores, gt)
+    scores, labels, videos = join_scores_with_gt(args.scores, gt)
     out = operating_points(labels, scores, args.target_fpr)
-    out["videos"] = len(per_video)
+    out["videos"] = len(videos)
     if args.per_video:
         out["per_video_max_score"] = {
-            k: round(v, 6) for k, v in sorted(per_video.items())
+            k: round(float(s.max()), 6) if s.size else 0.0
+            for k, (s, _) in sorted(videos.items())
         }
+    if args.per_class:
+        from anomaly_detection_on_video_tpu.training.runner import EvalResult
+
+        report = EvalResult(
+            rec_auc=out["roc_auc"], pr_auc=out["pr_auc"],
+            preds=scores, labels=labels, videos=videos,
+        ).report()
+        out["far"] = report["far"]
+        out["abnormal_auc"] = report["abnormal_auc"]
+        out["per_class"] = report["per_class"]
     print(json.dumps(out))
 
 

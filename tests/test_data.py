@@ -264,3 +264,18 @@ def test_minmax_transform_parity(rng):
     for c in range(3):
         assert abs(out_c[0, ..., c].min()) < 1e-6
         assert abs(out_c[0, ..., c].max() - 1.0) < 1e-6
+
+
+def test_video_class_parsing():
+    """UCF-Crime class = leading alphabetic run; every "Normal" name maps
+    to the Normal class by the reference's labeling rule
+    (src/dataset.py:54,129)."""
+    from anomaly_detection_on_video_tpu.data.features import video_class
+
+    assert video_class("Abuse028_x264.mp4") == "Abuse"
+    assert video_class("RoadAccidents133_x264_i3d.npy") == "RoadAccidents"
+    assert video_class("/some/dir/Shooting008_x264.avi") == "Shooting"
+    assert video_class("Normal_Videos_308_x264.mp4") == "Normal"
+    assert video_class("Normal_Videos944_x264_i3d.npy") == "Normal"
+    # degenerate: no alphabetic prefix falls back to the stem itself
+    assert video_class("123.avi") == "123.avi"

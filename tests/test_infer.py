@@ -84,12 +84,22 @@ def test_infer_main_data_parallel_center_crop(tmp_path):
             "--batch", "1",
             "--data-parallel",
             "--features-dir", str(tmp_path / "feats"),
+            "--threshold", "0.5",
+            "--min-event-frames", "2",
         ]
     )
     out = json.loads((outdir / "Abuse_demo_scores.json").read_text())
     assert out["n_clips"] == 3  # 40 frames -> 3 x 16-frame clips (loop-pad)
     assert len(out["frame_scores"]) == 3 * 16
     assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
+    # --threshold emits the deployment event windows (ops/metrics
+    # anomaly_events); must equal a direct recomputation from frame_scores
+    from anomaly_detection_on_video_tpu.ops.metrics import anomaly_events
+
+    assert out["threshold"] == 0.5
+    assert out["events"] == anomaly_events(
+        np.asarray(out["frame_scores"]), 0.5, min_frames=2
+    )
     # center-crop features carry their own cache name, (n, 1, 2048)
     feats = np.load(tmp_path / "feats" / "Abuse_demo_i3d_center.npy")
     assert feats.shape == (3, 1, 2048)

@@ -151,6 +151,7 @@ def test_full_pipeline(tmp_path):
         "run.py",
         "runner=mgfn",
         "trainer.eval_only=true",
+        "trainer.eval_report=true",
         f"data.test_path={test_dir}",
         f"data.ground_truth_path={gt_path}",
         f"trainer.checkpoint.dirpath={run_dir}/ckpt",
@@ -163,6 +164,14 @@ def test_full_pipeline(tmp_path):
     assert eval_line["step"] >= 1
     assert 0.0 <= eval_line["valid/rec_auc"] <= 1.0
     assert 0.0 <= eval_line["valid/pr_auc"] <= 1.0
+    # trainer.eval_report=true appends the literature-standard breakdown
+    # (EvalResult.report): FAR on normal videos + per-class AUC
+    assert 0.0 <= eval_line["valid/far"] <= 1.0
+    report = eval_line["report"]
+    assert report["normal_videos"] >= 1 and report["abnormal_videos"] >= 1
+    assert report["far"] == eval_line["valid/far"]
+    for cls, entry in report["per_class"].items():
+        assert cls != "Normal" and entry["videos"] >= 1
 
 
 @pytest.mark.slow

@@ -62,3 +62,42 @@ def test_frame_level_scores():
     out = frame_level_scores(np.array([0.25, 0.75]), frames_per_clip=16)
     assert out.shape == (32,)
     assert (out[:16] == 0.25).all() and (out[16:] == 0.75).all()
+
+
+def test_false_alarm_rate():
+    from anomaly_detection_on_video_tpu.ops.metrics import false_alarm_rate
+
+    labels = np.array([0, 0, 0, 0, 1, 1], float)
+    scores = np.array([0.9, 0.4, 0.6, 0.1, 0.8, 0.2])
+    # negatives: 0.9, 0.4, 0.6, 0.1 -> 2 of 4 above 0.5
+    assert false_alarm_rate(labels, scores) == 0.5
+    # threshold is strict (score > threshold, not >=)
+    assert false_alarm_rate(labels, scores, threshold=0.9) == 0.0
+    assert false_alarm_rate(labels, scores, threshold=0.05) == 1.0
+    # no negative frames: undefined
+    assert np.isnan(false_alarm_rate(np.ones(3), np.ones(3)))
+
+
+def test_anomaly_events():
+    from anomaly_detection_on_video_tpu.ops.metrics import anomaly_events
+
+    scores = np.array([0.1, 0.8, 0.9, 0.2, 0.7, 0.1, 0.6, 0.6, 0.6, 0.95])
+    events = anomaly_events(scores, 0.5)
+    assert [
+        (e["start_frame"], e["end_frame"], e["frames"]) for e in events
+    ] == [(1, 2, 2), (4, 4, 1), (6, 9, 4)]
+    assert events[0]["peak"] == 0.9
+    assert events[0]["mean"] == round((0.8 + 0.9) / 2, 6)
+    # debounce: min_frames drops short blips
+    events = anomaly_events(scores, 0.5, min_frames=2)
+    assert [(e["start_frame"], e["end_frame"]) for e in events] == [
+        (1, 2), (6, 9),
+    ]
+    # boundary runs (start/end of video) and the all-above / all-below edges
+    assert anomaly_events(np.array([0.9, 0.9]), 0.5) == [
+        {"start_frame": 0, "end_frame": 1, "frames": 2, "peak": 0.9,
+         "mean": 0.9}
+    ]
+    assert anomaly_events(np.array([0.1, 0.2]), 0.5) == []
+    # threshold is strict: a score exactly at threshold is not an event
+    assert anomaly_events(np.array([0.5, 0.5]), 0.5) == []

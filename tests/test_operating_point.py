@@ -88,3 +88,48 @@ def test_operating_point_matches_brute_force_f1(tmp_path, capsys):
         recall = tp / labels.sum()
         best = max(best, 2 * precision * recall / (precision + recall))
     assert abs(out["best_f1"]["f1"] - best) < 1e-6  # output rounds to 6dp
+
+
+def test_operating_point_per_class(tmp_path, capsys):
+    """--per-class: the literature breakdown (per-class AUC vs all normal
+    videos, abnormal-subset AUC, FAR on normal videos) joins correctly."""
+    import operating_point
+
+    from anomaly_detection_on_video_tpu.ops.metrics import (
+        false_alarm_rate,
+        roc_auc,
+    )
+
+    videos = {
+        "Abuse001_x264": [0.9, 0.8, 0.1, 0.2],
+        "Shooting002_x264": [0.7, 0.1, 0.6, 0.3],
+        "Normal_Videos_001_x264": [0.3, 0.7, 0.2, 0.1],
+    }
+    gt = {
+        "Abuse001_x264": [1.0, 1.0, 0.0, 0.0],
+        "Shooting002_x264": [1.0, 0.0, 1.0, 0.0],
+        "Normal_Videos_001_x264": [0.0, 0.0, 0.0, 0.0],
+    }
+    for stem, frames in videos.items():
+        _write_scores(tmp_path, stem, frames)
+    (tmp_path / "gt.json").write_text(json.dumps(gt))
+
+    operating_point.main(
+        [
+            "--scores", str(tmp_path / "scores"),
+            "--gt", str(tmp_path / "gt.json"),
+            "--per-class",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    norm_s, norm_l = videos["Normal_Videos_001_x264"], gt["Normal_Videos_001_x264"]
+    assert out["far"] == false_alarm_rate(norm_l, norm_s)
+    assert set(out["per_class"]) == {"Abuse", "Shooting"}
+    for cls, stem in [("Abuse", "Abuse001_x264"), ("Shooting", "Shooting002_x264")]:
+        expect = roc_auc(gt[stem] + norm_l, videos[stem] + norm_s)
+        assert out["per_class"][cls]["auc"] == expect
+        assert out["per_class"][cls]["videos"] == 1
+    assert out["abnormal_auc"] == roc_auc(
+        gt["Abuse001_x264"] + gt["Shooting002_x264"],
+        videos["Abuse001_x264"] + videos["Shooting002_x264"],
+    )

@@ -363,3 +363,84 @@ def test_infer_score_features_bucket_boundaries(rng):
         assert scores.shape == (n_clips,)
         assert np.isfinite(scores).all()
         assert (scores >= 0).all() and (scores <= 1).all()
+
+
+def test_eval_report_breakdown(rng):
+    """EvalResult.report: FAR over normal videos, abnormal-subset AUC, and
+    per-class AUC (class videos + all normal videos) must equal the same
+    metrics computed directly on the per-video slices."""
+    from anomaly_detection_on_video_tpu.ops.metrics import (
+        false_alarm_rate,
+        roc_auc,
+    )
+
+    filenames, arrays, labels = [], {}, {}
+    # two anomaly classes + two normal videos, mixed frame labels
+    for name, n_clips in [
+        ("Abuse001_x264_i3d.npy", 4),
+        ("Abuse002_x264_i3d.npy", 5),
+        ("Shooting001_x264_i3d.npy", 6),
+        ("Normal_Videos_001_x264_i3d.npy", 4),
+        ("Normal_Videos_002_x264_i3d.npy", 7),
+    ]:
+        arrays[name] = rng.randn(n_clips, 10, FDIM - 1).astype(np.float32)
+        if "Normal" in name:
+            labels[name] = [0.0] * (n_clips * 16)
+        else:
+            labels[name] = [float(j % 2) for j in range(n_clips * 16)]
+        filenames.append(name)
+    ds = FeatureDataset(filenames=filenames, _arrays=arrays, labels=labels)
+
+    model, state = tiny_state(randomize=True)
+    result = evaluate(state, ds)
+    assert set(result.videos) == set(filenames)
+    report = result.report()
+
+    def frames(names):
+        scores = np.concatenate([result.videos[n][0] for n in names])
+        labs = np.concatenate(
+            [np.asarray(result.videos[n][1]) for n in names]
+        )
+        return labs, scores
+
+    normals = [n for n in filenames if "Normal" in n]
+    abnormals = [n for n in filenames if "Normal" not in n]
+
+    assert report["rec_auc"] == result.rec_auc
+    assert report["normal_videos"] == 2
+    assert report["abnormal_videos"] == 3
+    assert report["far"] == false_alarm_rate(*frames(normals))
+    assert report["far"] == result.false_alarm_rate()
+    assert report["abnormal_auc"] == roc_auc(*frames(abnormals))
+    assert set(report["per_class"]) == {"Abuse", "Shooting"}
+    for cls, members in [
+        ("Abuse", filenames[:2]), ("Shooting", filenames[2:3])
+    ]:
+        expect = roc_auc(*frames(members + normals))
+        assert report["per_class"][cls]["auc"] == expect
+        assert report["per_class"][cls]["videos"] == len(members)
+    assert report["per_class"]["Shooting"]["frames"] == 6 * 16
+
+
+def test_eval_report_no_normals_and_single_class_slices(rng):
+    """Degenerate report inputs: no normal videos -> NaN FAR; an all-one
+    label slice -> auc None (ROC undefined), not a crash."""
+    filenames, arrays, labels = [], {}, {}
+    for name, n_clips, lab in [
+        ("Abuse001_x264_i3d.npy", 4, 1.0),
+        ("Fighting001_x264_i3d.npy", 4, None),
+    ]:
+        arrays[name] = rng.randn(n_clips, 10, FDIM - 1).astype(np.float32)
+        if lab is None:
+            labels[name] = [float(j % 2) for j in range(n_clips * 16)]
+        else:
+            labels[name] = [lab] * (n_clips * 16)
+        filenames.append(name)
+    ds = FeatureDataset(filenames=filenames, _arrays=arrays, labels=labels)
+    model, state = tiny_state(randomize=True)
+    report = evaluate(state, ds).report()
+    assert np.isnan(report["far"])
+    assert report["normal_videos"] == 0
+    assert report["per_class"]["Abuse"]["auc"] is None  # labels all 1
+    assert report["per_class"]["Fighting"]["auc"] is not None
+
