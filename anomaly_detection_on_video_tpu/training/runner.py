@@ -59,9 +59,13 @@ class TrainState(struct.PyTreeNode):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+PRECISIONS = ("32-true", "bf16-mixed")
+
+
 def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     state: Optional["TrainState"] = None,
+    precision: str = "32-true",
 ):
     """Build the jit'd train step.
 
@@ -83,20 +87,52 @@ def make_train_step(
     ``make_eval_step`` does for scoring. The updated state stays a global
     array between steps, so the conversion cost is first-call-only; the
     replicated loss is readable on every host.
+
+    ``precision`` is the trainer's numeric policy — the role of Lightning's
+    ``precision: 32-true`` knob in the reference trainer config
+    (configs/trainer/default.yaml:6). ``"32-true"`` (the reference default)
+    runs everything in float32. ``"bf16-mixed"`` is the TPU-native mixed
+    policy: the forward/backward casts params and the feature batch to
+    bfloat16 (the MXU's native input dtype — halves HBM traffic, softmax
+    still accumulates in f32, models/mgfn/model.py:156) while master
+    params, gradients, optimizer moments, and batch statistics stay
+    float32 — the gradient of the cast is a cast back, so ``grads`` below
+    arrives in f32 automatically and the Adam update is full-precision.
     """
+    if precision not in PRECISIONS:
+        raise ValueError(
+            f"precision must be one of {PRECISIONS}, got {precision!r}"
+            " (TPUs have no fp16 MXU path: use bf16-mixed)"
+        )
+    half = precision == "bf16-mixed"
 
     def step(state: TrainState, feature, normal_labels, abnormal_labels, rng):
         def loss_fn(params):
+            x = feature
+            if half:
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if p.dtype == jnp.float32 else p,
+                    params,
+                )
+                x = x.astype(jnp.bfloat16)
             out, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                feature,
+                x,
                 abnormal_labels=abnormal_labels,
                 normal_labels=normal_labels,
                 train=True,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
-            return out.loss, updates["batch_stats"]
+            # running batch stats keep their master dtype (f32) so the
+            # checkpointed/donated state layout is precision-independent
+            new_stats = jax.tree_util.tree_map(
+                lambda new, old: new.astype(old.dtype),
+                updates["batch_stats"],
+                state.batch_stats,
+            )
+            return out.loss.astype(jnp.float32), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -485,8 +521,10 @@ class VideoAnomalyDetectionRunner:
         checkpointer=None,
         seed: int = 0,
         eval_batch_videos: int = 8,
+        precision: str = "32-true",
     ):
         optimizer_cfg = dict(optimizer_cfg or {})
+        self.precision = precision
         self.model = model
         self.data_cfg = dict(data_cfg or {})
         self.mesh = mesh
@@ -504,7 +542,7 @@ class VideoAnomalyDetectionRunner:
             n = int(mesh.devices.size)
             eval_batch_videos = -(-eval_batch_videos // n) * n
         self.eval_batch_videos = eval_batch_videos
-        self._train_step = make_train_step(mesh)
+        self._train_step = make_train_step(mesh, precision=precision)
         self._eval_step = make_eval_step(mesh)
         self.state: Optional[TrainState] = None
 
@@ -527,7 +565,9 @@ class VideoAnomalyDetectionRunner:
             self.state = jax.tree_util.tree_map(
                 functools.partial(_put_sharded, self.mesh), self.state, specs
             )
-            self._train_step = make_train_step(self.mesh, state=self.state)
+            self._train_step = make_train_step(
+                self.mesh, state=self.state, precision=self.precision
+            )
         return self.state
 
     def restore(self, state: TrainState) -> None:
@@ -550,7 +590,9 @@ class VideoAnomalyDetectionRunner:
             self.state = jax.tree_util.tree_map(
                 functools.partial(_put_sharded, self.mesh), state, specs
             )
-            self._train_step = make_train_step(self.mesh, state=self.state)
+            self._train_step = make_train_step(
+                self.mesh, state=self.state, precision=self.precision
+            )
         else:
             from ..parallel.sharding import replicate
 

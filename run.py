@@ -163,6 +163,7 @@ def main(argv=None) -> None:
         checkpointer=checkpointer if is_primary else None,
         seed=int(cfg.get("seed", 0)),
         eval_batch_videos=int(trainer_cfg.get("eval_batch_videos", 8)),
+        precision=str(trainer_cfg.get("precision", "32-true")),
     )
 
     stream = data_cfg.get("stream", "rgb")
