@@ -19,6 +19,12 @@ ENV = dict(
     JAX_PLATFORMS="cpu",
     XLA_FLAGS="--xla_force_host_platform_device_count=2",
     PYTHONPATH=REPO,
+    # the image's sitecustomize registers the axon TPU plugin (gated on
+    # this var) and force-resets jax_platforms to "axon,cpu" at interpreter
+    # start, overriding JAX_PLATFORMS above — the spawned CLIs would then
+    # run through the TPU tunnel (and hang whenever it is down). Emptying
+    # the gate keeps subprocess e2e tests on the host CPU unconditionally.
+    PALLAS_AXON_POOL_IPS="",
 )
 
 

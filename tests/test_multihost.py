@@ -117,6 +117,9 @@ def _run_two_process(worker_template, tmp_path, success_token, **fmt):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # keep the sitecustomize axon registration out of the workers (it
+    # resets jax_platforms to "axon,cpu" at startup; see test_integration)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     procs = [
         subprocess.Popen(
             [sys.executable, "-c",
@@ -431,6 +434,9 @@ def test_two_process_preemption_stops_both(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # keep the sitecustomize axon registration out of the workers (it
+    # resets jax_platforms to "axon,cpu" at startup; see test_integration)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     procs = [
         subprocess.Popen(
             [sys.executable, "-c",
