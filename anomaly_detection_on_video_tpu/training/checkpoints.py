@@ -70,6 +70,13 @@ class TopKCheckpointer:
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 preservation_policy=preservation,
+                # retention is governed by preservation_policy above;
+                # best_fn's remaining role is flipping orbax's _track_best
+                # so per-step metrics are PERSISTED (JsonSave next to the
+                # arrays) — without it manager.metrics() is always None
+                # and resolve_step("best") could never see past saves
+                best_fn=lambda m: m.get("metric", -1.0),
+                best_mode="max",
                 **options_kwargs,
             ),
         )
@@ -127,9 +134,47 @@ class TopKCheckpointer:
         self._last_saved = step
         return os.path.join(self.directory, str(step))
 
-    def restore_latest(self, state: Any) -> Any:
-        """Restore into an existing TrainState template (shapes must match)."""
-        step = self.manager.latest_step()
+    def resolve_step(self, selector: Any = "latest") -> Optional[int]:
+        """Turn a checkpoint selector into a concrete saved step.
+
+        ``"latest"``/``None`` → the most recent step; ``"best"`` → the
+        step with the highest recorded metric (ties broken toward the
+        newer step; falls back to latest when no save carried a metric,
+        e.g. preemption-only checkpoints); an int (or digit string) → that
+        exact step, raising with the available steps listed if absent.
+        The selection surface of Lightning's ``ckpt_path`` / ``best``
+        (the reference resumes via Trainer.fit(ckpt_path=...); run.py:35).
+        Returns None when the directory holds no checkpoints.
+        """
+        # isinstance check first: `selector == True` would also match the
+        # exact step 1 (Python bools are ints), silently resuming latest
+        if selector is None or isinstance(selector, bool) or selector == "latest":
+            return self.manager.latest_step()
+        if selector == "best":
+            best_step, best_metric = None, None
+            for s in sorted(self.manager.all_steps()):
+                m = self.manager.metrics(s) or {}
+                if "metric" not in m:
+                    continue
+                v = float(m["metric"])
+                if best_metric is None or v >= best_metric:
+                    best_step, best_metric = s, v
+            if best_step is not None:
+                return best_step
+            return self.manager.latest_step()
+        step = int(selector)
+        if step not in self.manager.all_steps():
+            raise ValueError(
+                f"checkpoint step {step} not found in {self.directory}; "
+                f"available steps: {sorted(self.manager.all_steps())}"
+            )
+        return step
+
+    def restore(self, state: Any, step: Any = "latest") -> Any:
+        """Restore a checkpoint into an existing TrainState template
+        (shapes must match). ``step`` is a ``resolve_step`` selector:
+        "latest" (default), "best", or an exact step number."""
+        step = self.resolve_step(step)
         if step is None:
             return state
         template = {
@@ -147,6 +192,10 @@ class TopKCheckpointer:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def restore_latest(self, state: Any) -> Any:
+        """Restore the most recent checkpoint (restore(step="latest"))."""
+        return self.restore(state, step="latest")
 
     def write_metadata(self, metadata: Dict[str, Any]) -> str:
         """Atomically persist run hyperparameters as <dir>/hparams.json."""

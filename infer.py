@@ -155,7 +155,10 @@ def build_scorer(args):
             train=True,
         )
         template = TrainState.create(model, init, adam_with_l2())
-        state = TopKCheckpointer(args.checkpoint).restore_latest(template)
+        # --checkpoint-step picks latest (default) / best / an exact step
+        state = TopKCheckpointer(args.checkpoint).restore(
+            template, step=getattr(args, "checkpoint_step", "latest")
+        )
         if int(state.step) == 0:
             print(
                 f"warning: no checkpoint found under {args.checkpoint!r}; "
@@ -375,6 +378,10 @@ def main(argv=None) -> None:
                              "over HTTP)")
     parser.add_argument("--outdir", required=True)
     parser.add_argument("--checkpoint", help="orbax checkpoint dir (run.py)")
+    parser.add_argument("--checkpoint-step", default="latest",
+                        help="which checkpoint to serve: latest (default), "
+                             "best (highest recorded valid AUC), or an "
+                             "exact step number")
     parser.add_argument("--torch-weights", help="torch MGFN state dict (.pt)")
     parser.add_argument("--official", action="store_true",
                         help="--torch-weights uses the official-release "

@@ -213,7 +213,11 @@ def main(argv=None) -> None:
             )
         channels = getattr(model_config, "channels", 2048)
         runner.init_state(np.zeros((2, 10, 32, channels + 1), np.float32))
-        runner.restore(checkpointer.restore_latest(runner.state))
+        runner.restore(
+            checkpointer.restore(
+                runner.state, step=trainer_cfg.get("checkpoint_step", "latest")
+            )
+        )
         if int(runner.state.step) == 0:
             print(
                 "warning: no checkpoint found — evaluating random weights",
@@ -244,8 +248,10 @@ def main(argv=None) -> None:
     train_datasets = build_feature_dataset("train", **data_kwargs("train"))
 
     if trainer_cfg.get("resume") and checkpointer is not None:
-        # initialize state from an example batch, then restore the latest
-        # checkpoint into it (params/opt_state/batch_stats/step)
+        # initialize state from an example batch, then restore the selected
+        # checkpoint into it (params/opt_state/batch_stats/step);
+        # trainer.checkpoint_step picks latest (default) / best / an exact
+        # step — the reference's Trainer.fit(ckpt_path=...) role
         from anomaly_detection_on_video_tpu.data import train_batches
 
         example = next(
@@ -255,7 +261,11 @@ def main(argv=None) -> None:
             )
         )
         runner.init_state(example["feature"])
-        runner.restore(checkpointer.restore_latest(runner.state))
+        runner.restore(
+            checkpointer.restore(
+                runner.state, step=trainer_cfg.get("checkpoint_step", "latest")
+            )
+        )
         print(f"resumed from step {int(runner.state.step)}")
 
     result = runner.fit(

@@ -170,3 +170,59 @@ def test_build_scorer_model_config_bad_value_names_token():
 
     with pytest.raises(SystemExit, match="k=\\[unclosed"):
         build_scorer(_infer_args(model="mgfn", model_config=["k=[unclosed"]))
+
+
+def test_checkpoint_step_selection(tmp_path):
+    """resolve_step/restore selectors: latest (default), best (highest
+    recorded metric, ties to the newer step), exact step (missing steps
+    raise naming the available ones) — Lightning's ckpt_path surface
+    (reference run.py:35)."""
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    _, model = build_model(
+        "mgfn", dims=(16, 16, 32), depths=(1, 1, 1), dim_head=8, channels=24
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 8, 25)),
+        train=True,
+    )
+    state = TrainState.create(model, variables, adam_with_l2())
+
+    ckpt = TopKCheckpointer(str(tmp_path / "a"), top_k=5)
+    # empty directory: every selector resolves to None / returns template
+    assert ckpt.resolve_step("latest") is None
+    assert ckpt.resolve_step("best") is None
+    assert int(ckpt.restore(state, step="best").step) == 0
+
+    for step, metric in [(1, 0.6), (2, 0.9), (3, 0.8)]:
+        ckpt.save(step=step, state=state.replace(step=step), metric=metric)
+        ckpt.wait()
+    ckpt.save(step=4, state=state.replace(step=4), metric=None)  # preemption
+    ckpt.wait()
+
+    assert ckpt.resolve_step() == 4
+    assert ckpt.resolve_step("latest") == 4
+    assert ckpt.resolve_step(True) == 4  # trainer.resume=true passthrough
+    assert ckpt.resolve_step("best") == 2  # metric 0.9 beats latest
+    assert ckpt.resolve_step(3) == 3
+    assert ckpt.resolve_step("3") == 3  # CLI strings
+    with pytest.raises(ValueError, match=r"available steps: \[1, 2, 3, 4\]"):
+        ckpt.resolve_step(99)
+
+    assert int(ckpt.restore(state, step="best").step) == 2
+    assert int(ckpt.restore(state, step=1).step) == 1
+    assert int(ckpt.restore(state, step="latest").step) == 4
+
+    # ties break toward the newer step; metric-less dirs fall back to latest
+    tie = TopKCheckpointer(str(tmp_path / "tie"), top_k=5)
+    for step in (1, 2):
+        tie.save(step=step, state=state.replace(step=step), metric=0.5)
+        tie.wait()
+    assert tie.resolve_step("best") == 2
+    bare = TopKCheckpointer(str(tmp_path / "bare"), top_k=5)
+    bare.save(step=7, state=state.replace(step=7), metric=None)
+    bare.wait()
+    assert bare.resolve_step("best") == 7
