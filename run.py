@@ -7,14 +7,141 @@ Hydra-style composition over ``configs/`` with the same override grammar:
     python run.py runner=mgfn data.batch_size=8    # dotted value overrides
     python run.py runner=mgfn data.local_path=/data/features trainer.max_epochs=50
 
+Hydra CLI conveniences carried over (the reference gets these from Hydra
+itself, run.py:15):
+
+    python run.py --help                           # groups, choices, flags
+    python run.py runner=mgfn --cfg                # print the composed config
+    python run.py -m runner=mgfn seed=1,2,3        # multirun sweep
+
 As in the reference (configs/runner/default.yaml has no model), a real run
 requires ``runner=mgfn``.
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 import sys
+
+HELP = """\
+usage: python run.py [GROUP=CHOICE ...] [KEY=VALUE ...] [flags]
+
+Hydra-style overrides (reference: run.py:15, configs/default.yaml):
+  GROUP=CHOICE      select a config-group file, e.g. runner=mgfn
+  KEY=VALUE         dotted value override, e.g. data.batch_size=8 or seed=1
+  +KEY=VALUE        add a key that is not in the composed config
+
+flags:
+  -h, --help        show this help and exit
+  --cfg             print the composed config as YAML and exit
+  -m, --multirun    sweep comma-separated override values, e.g.
+                    `-m runner=mgfn seed=1,2,3` runs the cartesian product
+                    sequentially; each job writes under --multirun-dir
+  --multirun-dir D  sweep output root (default: multirun)
+
+config groups (configs/):
+"""
+
+
+def print_help(config_dir: str) -> None:
+    sys.stdout.write(HELP)
+    for root, dirs, files in sorted(os.walk(config_dir)):
+        dirs.sort()
+        group = os.path.relpath(root, config_dir).replace(os.sep, "/")
+        if group == ".":
+            continue
+        choices = sorted(f[:-5] for f in files if f.endswith(".yaml"))
+        if choices:
+            print(f"  {group}: {', '.join(choices)}")
+    print(
+        "\na real run requires `runner=mgfn` (or rtfm / sultani) — the "
+        "default runner\ngroup has model_class: null, like the reference."
+    )
+
+
+def expand_multirun(argv):
+    """Cartesian product of comma-separated override values (Hydra -m).
+
+    Only bare comma lists sweep; YAML collections / quoted values
+    (``data.x=[1,2]``, ``key='a,b'``) stay single values.
+    """
+    per_arg = []
+    for arg in argv:
+        key, eq, value = arg.partition("=")
+        if (
+            eq
+            and "," in value
+            and not any(ch in value for ch in "[]{}\"'")
+        ):
+            per_arg.append([f"{key}={v}" for v in value.split(",")])
+        else:
+            per_arg.append([arg])
+    return [list(combo) for combo in itertools.product(*per_arg)]
+
+
+def run_multirun(config_dir: str, argv, sweep_dir: str) -> None:
+    """Run each sweep job in a subprocess, Hydra-multirun style.
+
+    Each job gets its own writer paths ({sweep_dir}/{job}/...) unless the
+    sweep args set them explicitly; data paths are untouched (use absolute
+    paths, as with Hydra's chdir behavior).
+    """
+    import json
+    import subprocess
+
+    from anomaly_detection_on_video_tpu.config import compose
+
+    jobs = expand_multirun(argv)
+    os.makedirs(sweep_dir, exist_ok=True)
+    explicit = {arg.partition("=")[0].lstrip("+") for arg in argv}
+    failures = 0
+    with open(os.path.join(sweep_dir, "multirun.jsonl"), "a") as log:
+        for idx, job_args in enumerate(jobs):
+            job_dir = os.path.join(sweep_dir, str(idx))
+            os.makedirs(job_dir, exist_ok=True)
+            extra = []
+            if "trainer.log_path" not in explicit:
+                extra.append(
+                    f"trainer.log_path={os.path.join(job_dir, 'metrics.jsonl')}"
+                )
+            cfg = compose(config_dir, "default", job_args)
+            trainer_cfg = cfg.get("trainer", {})
+            if (
+                (trainer_cfg.get("checkpoint") or {}).get("dirpath")
+                and "trainer.checkpoint.dirpath" not in explicit
+            ):
+                extra.append(
+                    "trainer.checkpoint.dirpath="
+                    + os.path.join(job_dir, "checkpoints")
+                )
+            if (
+                trainer_cfg.get("figure_dir")
+                and "trainer.figure_dir" not in explicit
+            ):
+                extra.append(
+                    f"trainer.figure_dir={os.path.join(job_dir, 'figures')}"
+                )
+            print(f"[multirun] job {idx}/{len(jobs)}: {' '.join(job_args)}")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *job_args, *extra]
+            )
+            if proc.returncode:
+                failures += 1
+            log.write(
+                json.dumps(
+                    {
+                        "job": idx,
+                        "dir": job_dir,
+                        "overrides": job_args,
+                        "returncode": proc.returncode,
+                    }
+                )
+                + "\n"
+            )
+            log.flush()
+    if failures:
+        raise SystemExit(f"multirun: {failures} of {len(jobs)} jobs failed")
 
 
 def build_mesh(trainer_cfg):
@@ -55,7 +182,42 @@ def main(argv=None) -> None:
     from anomaly_detection_on_video_tpu.config import compose, instantiate, locate
 
     config_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
-    cfg = compose(config_dir, "default", argv)
+
+    if "-h" in argv or "--help" in argv:
+        print_help(config_dir)
+        return
+    print_cfg = "--cfg" in argv
+    multirun = False
+    sweep_dir = "multirun"
+    while "--multirun-dir" in argv:
+        i = argv.index("--multirun-dir")
+        try:
+            sweep_dir = argv[i + 1]
+        except IndexError:
+            raise SystemExit("--multirun-dir needs a directory argument")
+        del argv[i : i + 2]
+    for flag in ("--cfg", "-m", "--multirun"):
+        while flag in argv:
+            multirun = multirun or flag != "--cfg"
+            argv.remove(flag)
+
+    if multirun:
+        run_multirun(config_dir, argv, sweep_dir)
+        return
+
+    try:
+        cfg = compose(config_dir, "default", argv)
+    except (ValueError, KeyError, FileNotFoundError) as exc:
+        # a mistyped override should read like a CLI error, not a traceback
+        msg = exc.args[0] if exc.args else exc
+        raise SystemExit(f"config error: {msg}\n(see python run.py --help)")
+
+    if print_cfg:
+        import yaml
+
+        shown = {k: v for k, v in cfg.items() if k != "_choices_"}
+        sys.stdout.write(yaml.safe_dump(shown, sort_keys=False))
+        return
 
     # DCN multi-host training: rendezvous BEFORE the backend initializes so
     # jax.devices() is global and build_mesh() spans every host. Writers

@@ -600,3 +600,102 @@ def test_infer_cli_torch_weights(tmp_path):
     out = json.loads((outdir / "Normal_demo_scores.json").read_text())
     assert out["n_clips"] == 2
     assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
+
+
+def test_run_cli_help_cfg_and_error_surface():
+    """Hydra-CLI conveniences (the reference gets these from Hydra itself):
+    --help lists config groups, --cfg prints the composed config, and a
+    mistyped override reads like a CLI error, not a traceback."""
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "run.py"), *args],
+            capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+        )
+
+    result = run("--help")
+    assert result.returncode == 0
+    assert "runner: default, mgfn, rtfm, sultani" in result.stdout
+    assert "--multirun" in result.stdout
+
+    result = run("runner=mgfn", "--cfg")
+    assert result.returncode == 0
+    composed = __import__("yaml").safe_load(result.stdout)
+    assert composed["runner"]["model_class"].endswith(
+        "MGFNForVideoAnomalyDetection"
+    )
+    assert "_choices_" not in composed
+
+    result = run("badtoken")
+    assert result.returncode != 0
+    assert "config error" in result.stderr
+    assert "Traceback" not in result.stderr
+
+    result = run("nonexistent.key=1")
+    assert result.returncode != 0
+    assert "config error" in result.stderr and "+nonexistent" in result.stderr
+
+
+def test_expand_multirun_grammar():
+    sys.path.insert(0, REPO)
+    from run import expand_multirun
+
+    # cartesian product over bare comma lists, in argv order
+    jobs = expand_multirun(["runner=mgfn", "seed=1,2", "data.batch_size=4,8"])
+    assert len(jobs) == 4
+    assert jobs[0] == ["runner=mgfn", "seed=1", "data.batch_size=4"]
+    assert jobs[-1] == ["runner=mgfn", "seed=2", "data.batch_size=8"]
+    # YAML collections and quoted values do NOT sweep
+    assert expand_multirun(["a.b=[1,2]"]) == [["a.b=[1,2]"]]
+    assert expand_multirun(["a.b='x,y'"]) == [["a.b='x,y'"]]
+    assert expand_multirun(["runner=mgfn"]) == [["runner=mgfn"]]
+
+
+@pytest.mark.slow
+def test_run_cli_multirun(tmp_path):
+    """`run.py -m seed=1,2` sweeps sequentially with per-job writer dirs
+    (Hydra multirun role, reference run.py:15)."""
+    rng = np.random.RandomState(0)
+    seg_dir = tmp_path / "segments"
+    test_dir = tmp_path / "test"
+    seg_dir.mkdir()
+    test_dir.mkdir()
+    gt = {}
+    for i in range(4):
+        prefix = "Normal_Videos" if i % 2 == 0 else "Abuse"
+        name = f"{prefix}{i:03d}_x264_i3d.npy"
+        np.save(seg_dir / name, rng.randn(10, 32, 2048).astype(np.float32))
+        np.save(test_dir / name, rng.randn(3, 10, 2048).astype(np.float32))
+        gt[name[:-8]] = [0.0 if i % 2 == 0 else 1.0] * (3 * 16)
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+
+    sweep = tmp_path / "sweep"
+    result = run_cli(
+        "run.py",
+        "-m",
+        "--multirun-dir", str(sweep),
+        "runner=mgfn",
+        "seed=1,2",
+        f"data.train_path={seg_dir}",
+        f"data.test_path={test_dir}",
+        f"data.ground_truth_path={gt_path}",
+        "data.batch_size=2",
+        "trainer.max_epochs=1",
+        f"trainer.checkpoint.dirpath={tmp_path}/unused-ckpt",
+        "runner.model_config.dims=[16,16,32]",
+        "runner.model_config.depths=[1,1,1]",
+        "runner.model_config.dim_head=8",
+    )
+    assert "[multirun] job 0/2" in result.stdout
+    jobs = [json.loads(l) for l in open(sweep / "multirun.jsonl")]
+    assert [j["returncode"] for j in jobs] == [0, 0]
+    assert "seed=1" in jobs[0]["overrides"] and "seed=2" in jobs[1]["overrides"]
+    for j in jobs:
+        records = [
+            json.loads(l) for l in open(os.path.join(j["dir"], "metrics.jsonl"))
+        ]
+        assert any("valid/rec_auc" in r for r in records)
+        # explicit writer overrides are respected, not redirected per-job:
+        # the checkpoint dir was set on the CLI so hparams land there
+        assert not os.path.isdir(os.path.join(j["dir"], "checkpoints"))
+    assert os.path.isfile(tmp_path / "unused-ckpt" / "hparams.json")
