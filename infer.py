@@ -86,6 +86,21 @@ def build_scorer(args):
     )
     from anomaly_detection_on_video_tpu.training.runner import make_eval_step
 
+    # Fail fast on path typos: extraction is minutes of work, and scoring
+    # with random weights would silently produce garbage.
+    if args.checkpoint and not os.path.isdir(args.checkpoint):
+        raise SystemExit(
+            f"--checkpoint {args.checkpoint!r}: no such directory"
+        )
+    if args.torch_weights and not os.path.isfile(args.torch_weights):
+        raise SystemExit(
+            f"--torch-weights {args.torch_weights!r}: no such file"
+        )
+    if args.i3d_weights and not os.path.isfile(args.i3d_weights):
+        raise SystemExit(
+            f"--i3d-weights {args.i3d_weights!r}: no such file"
+        )
+
     overrides = {}
     for kv in args.model_config or []:
         key, _, value = kv.partition("=")
@@ -155,16 +170,19 @@ def build_scorer(args):
             train=True,
         )
         template = TrainState.create(model, init, adam_with_l2())
-        # --checkpoint-step picks latest (default) / best / an exact step
-        state = TopKCheckpointer(args.checkpoint).restore(
-            template, step=getattr(args, "checkpoint_step", "latest")
-        )
-        if int(state.step) == 0:
-            print(
-                f"warning: no checkpoint found under {args.checkpoint!r}; "
-                "scoring with random weights",
-                file=sys.stderr,
+        ckpt = TopKCheckpointer(args.checkpoint)
+        if ckpt.manager.latest_step() is None:
+            raise SystemExit(
+                f"--checkpoint {args.checkpoint!r}: directory contains no "
+                "checkpoints (expected an orbax directory written by run.py)"
             )
+        # --checkpoint-step picks latest (default) / best / an exact step
+        try:
+            state = ckpt.restore(
+                template, step=getattr(args, "checkpoint_step", "latest")
+            )
+        except ValueError as exc:
+            raise SystemExit(f"--checkpoint-step: {exc}")
         variables = state.variables
     else:
         raise SystemExit("one of --checkpoint / --torch-weights is required")
@@ -538,6 +556,10 @@ def main(argv=None) -> None:
             flow_backend=args.flow_backend if s == "flow" else None,
         )
 
+    # scorer first: its checkpoint/weights validation must fail fast,
+    # before the (expensive, warning-emitting) I3D extractor is built
+    apply_fn, variables, eval_step, model_name = build_scorer(args)
+
     extractor = make_extractor("rgb" if stream != "flow" else "flow")
     flow_extractor = make_extractor("flow") if stream == "both" else None
     if args.dtype == "int8":
@@ -547,7 +569,6 @@ def main(argv=None) -> None:
         extractor.pin_calibration(args.features_dir or args.outdir)
         if flow_extractor is not None:
             flow_extractor.pin_calibration(args.features_dir or args.outdir)
-    apply_fn, variables, eval_step, model_name = build_scorer(args)
 
     if args.warmup > 0:
         import time as _time

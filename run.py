@@ -381,9 +381,10 @@ def main(argv=None) -> None:
             )
         )
         if int(runner.state.step) == 0:
-            print(
-                "warning: no checkpoint found — evaluating random weights",
-                file=sys.stderr,
+            raise SystemExit(
+                "eval_only: no checkpoint found under "
+                f"{trainer_cfg['checkpoint']['dirpath']!r} — evaluating "
+                "random weights would be meaningless"
             )
         result = evaluate(
             runner.state,

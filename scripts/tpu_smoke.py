@@ -221,21 +221,48 @@ def smoke_int8_flow():
     return f"cosine {cos:.6f} vs bf16"
 
 
-def main() -> None:
+CHECKS = [
+    ("extraction pipeline", smoke_extraction),
+    ("fused Pallas kernels (opt-in)", smoke_fused_kernels),
+    ("device optical flow", smoke_device_flow),
+    ("device TV-L1 flow", smoke_tvl1_flow),
+    ("MGFN train step", smoke_train_step),
+    ("int8 extraction (opt-in)", smoke_int8),
+    ("int8 flow stream (opt-in)", smoke_int8_flow),
+    ("extraction throughput", smoke_throughput),
+]
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    parser.add_argument(
+        "--only",
+        metavar="SUBSTR",
+        help="run only checks whose name contains SUBSTR "
+        "(available: " + "; ".join(name for name, _ in CHECKS) + ")",
+    )
+    args = parser.parse_args(argv)
+    checks = [
+        (name, fn)
+        for name, fn in CHECKS
+        if not args.only or args.only in name
+    ]
+    if not checks:
+        raise SystemExit(f"--only {args.only!r} matches no checks")
+
     import jax
 
     print(f"devices: {jax.devices()}", flush=True)
-    check("extraction pipeline", smoke_extraction)
-    check("fused Pallas kernels (opt-in)", smoke_fused_kernels)
-    check("device optical flow", smoke_device_flow)
-    check("device TV-L1 flow", smoke_tvl1_flow)
-    check("MGFN train step", smoke_train_step)
-    check("int8 extraction (opt-in)", smoke_int8)
-    check("int8 flow stream (opt-in)", smoke_int8_flow)
-    check("extraction throughput", smoke_throughput)
+    for name, fn in checks:
+        check(name, fn)
     if FAILURES:
         raise SystemExit(f"FAILED: {FAILURES}")
-    print("all TPU smoke checks passed")
+    print(f"all {len(checks)} TPU smoke checks passed")
 
 
 if __name__ == "__main__":

@@ -179,6 +179,27 @@ def test_full_pipeline(tmp_path):
     for cls, entry in report["per_class"].items():
         assert cls != "Normal" and entry["videos"] >= 1
 
+    # 5. eval-only on an empty checkpoint dir is a clean error (evaluating
+    # random weights would be meaningless, run.py)
+    empty_ckpt = tmp_path / "empty-ckpt"
+    empty_ckpt.mkdir()
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "runner=mgfn",
+         "trainer.eval_only=true",
+         f"data.test_path={test_dir}",
+         f"data.ground_truth_path={gt_path}",
+         f"trainer.checkpoint.dirpath={empty_ckpt}",
+         "trainer.log_path=",
+         "runner.model_config.dims=[16,16,32]",
+         "runner.model_config.depths=[1,1,1]",
+         "runner.model_config.dim_head=8"],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600,
+    )
+    assert result.returncode != 0
+    assert "no checkpoint found" in result.stderr
+    assert "Traceback" not in result.stderr
+
 
 @pytest.mark.slow
 def test_run_cli_tensor_parallel(tmp_path):
@@ -600,6 +621,42 @@ def test_infer_cli_torch_weights(tmp_path):
     out = json.loads((outdir / "Normal_demo_scores.json").read_text())
     assert out["n_clips"] == 2
     assert all(0.0 <= s <= 1.0 for s in out["frame_scores"])
+
+
+def test_infer_cli_fails_fast_on_bad_paths(tmp_path):
+    """A typo'd --checkpoint / --torch-weights / --i3d-weights path must be
+    a clean error BEFORE any extraction work — scoring with random weights
+    would silently produce garbage (deployment surface)."""
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    write_video(videos / "v.avi", n_frames=4)
+
+    def infer(*args):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "infer.py"),
+             "--videos", str(videos), "--outdir", str(tmp_path / "out"),
+             *args],
+            capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600,
+        )
+
+    result = infer("--checkpoint", str(tmp_path / "nope"))
+    assert result.returncode != 0
+    assert "no such directory" in result.stderr
+    assert "Traceback" not in result.stderr
+
+    empty = tmp_path / "empty-ckpt"
+    empty.mkdir()
+    result = infer("--checkpoint", str(empty))
+    assert result.returncode != 0
+    assert "contains no checkpoints" in result.stderr
+
+    result = infer("--torch-weights", str(tmp_path / "nope.pt"))
+    assert result.returncode != 0
+    assert "no such file" in result.stderr
+
+    result = infer("--i3d-weights", str(tmp_path / "missing.pt"))
+    assert result.returncode != 0
+    assert "--i3d-weights" in result.stderr
 
 
 def test_run_cli_help_cfg_and_error_surface():
