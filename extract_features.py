@@ -139,6 +139,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.multihost and args.hf_dataset:
         parser.error("--multihost supports --videos local mode only")
+    if args.weights and not os.path.isfile(args.weights):
+        parser.error(f"--weights {args.weights!r}: no such file")
 
     if args.compile_cache:
         from anomaly_detection_on_video_tpu.utils.compile_cache import (

@@ -15,6 +15,7 @@ HF mode (reference's default flow, requires network): omit --annotations /
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main(argv=None) -> None:
@@ -26,6 +27,10 @@ def main(argv=None) -> None:
     parser.add_argument("--out", default="ground_truth/ground_truth_ucf_crime.json")
     parser.add_argument("--frames-per-clip", type=int, default=16)
     args = parser.parse_args(argv)
+    if args.annotations and not os.path.exists(args.annotations):
+        parser.error(f"--annotations {args.annotations!r}: no such file")
+    if args.features and not os.path.exists(args.features):
+        parser.error(f"--features {args.features!r}: no such file or directory")
 
     annotations, features = args.annotations, args.features
     if annotations is None or features is None:

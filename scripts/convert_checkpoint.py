@@ -43,6 +43,8 @@ def main(argv=None) -> None:
         help="export flax msgpack variables (src) to a torch state dict (dst)",
     )
     args = parser.parse_args(argv)
+    if not os.path.isfile(args.src):
+        parser.error(f"src {args.src!r}: no such file")
 
     import torch
 

@@ -113,6 +113,10 @@ def main(argv=None) -> None:
                              "(per-class AUC, abnormal-subset AUC, FAR@0.5 "
                              "on normal videos — EvalResult.report)")
     args = parser.parse_args(argv)
+    if not os.path.exists(args.gt):
+        parser.error(f"--gt {args.gt!r}: no such file")
+    if not os.path.exists(args.scores):
+        parser.error(f"--scores {args.scores!r}: no such file or directory")
 
     with open(args.gt) as f:
         gt = json.load(f)
