@@ -274,8 +274,16 @@ def main(argv=None) -> None:
     if log_path and is_primary:
         loggers.append(JsonlLogger(log_path))
     if cfg.get("wandb_key") and is_primary:
+        # run-name parity: ${hydra:runtime.choices.data}-${...runner}-${now}
+        # (reference configs/trainer/logger/wandb.yaml:3)
+        import datetime
+
         choices = cfg.get("_choices_", {})
-        run_name = f"{choices.get('data', 'data')}-{choices.get('runner', 'runner')}"
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        run_name = (
+            f"{choices.get('data', 'data')}-"
+            f"{choices.get('runner', 'runner')}-{stamp}"
+        )
         wandb_cfg = trainer_cfg.get("logger") or {}
         loggers.append(
             WandbLogger(
