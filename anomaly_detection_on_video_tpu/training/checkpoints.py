@@ -124,6 +124,12 @@ class TopKCheckpointer:
                 "step": state.step,
             },
         )
+        if step in self.manager.all_steps():
+            # a run resumed from an earlier step (checkpoint_step=best or
+            # an exact step) re-walks step numbers that already exist on
+            # disk; orbax silently no-ops saving an existing step, which
+            # would strand the stale pre-resume state — delete it first
+            self.manager.delete(step)
         self.manager.save(
             step,
             args=ocp.args.StandardSave(payload),

@@ -70,6 +70,47 @@ def test_top_k_plus_latest_preservation(tmp_path):
     assert int(restored.step) == 4
 
 
+def test_resave_overwrites_existing_step(tmp_path):
+    """A run resumed from an earlier step (checkpoint_step=best / exact)
+    re-walks step numbers that already exist on disk. Orbax silently
+    no-ops saving an existing step, so save() must delete the stale one
+    first — otherwise every post-resume checkpoint is lost."""
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    _, model = build_model(
+        "mgfn", dims=(16, 16, 32), depths=(1, 1, 1), dim_head=8, channels=24
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 8, 25)),
+        train=True,
+    )
+    state = TrainState.create(model, variables, adam_with_l2())
+    ckpt = TopKCheckpointer(str(tmp_path), top_k=3)
+    ckpt.save(step=3, state=state.replace(step=3), metric=0.7)
+    ckpt.wait()
+
+    # "resume from step 2", train past it, and re-save step 3 improved
+    bumped = state.replace(
+        step=3,
+        params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params),
+    )
+    ckpt2 = TopKCheckpointer(str(tmp_path), top_k=3)
+    ckpt2.save(step=3, state=bumped, metric=0.95)
+    ckpt2.wait()
+
+    restored = ckpt2.restore(state, step=3)
+    old_leaf = jax.tree_util.tree_leaves(state.params)[0]
+    new_leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(new_leaf), np.asarray(old_leaf) + 1.0)
+    # the metric was refreshed too: step 3 is now the "best"
+    assert ckpt2.resolve_step("best") == 3
+    m = ckpt2.manager.metrics(3)
+    assert m and float(m["metric"]) == pytest.approx(0.95)
+
+
 def test_metadata_roundtrip(tmp_path):
     ckpt = TopKCheckpointer(str(tmp_path))
     assert TopKCheckpointer.load_metadata(str(tmp_path)) is None
