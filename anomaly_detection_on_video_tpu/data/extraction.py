@@ -29,6 +29,33 @@ from .segments import segment_video_features
 from .video import CHUNK_FRAMES, VideoFrameSource, is_large_video
 
 
+def adapt_stem_channels(variables, channels: int):
+    """Bootstrap a C-channel stem from pretrained RGB weights.
+
+    The two-stream I3D recipe (Carreira & Zisserman 2017, "Quo Vadis" §4,
+    following Wang et al.'s cross-modality pretraining): average the stem
+    conv kernel over its RGB input axis, replicate to ``channels``, and
+    rescale by 3/C so pre-activation magnitudes are preserved. No-op when
+    the kernel already matches (or when there is no stem conv). Everything
+    past the stem is channel-count-independent and shared as-is.
+    """
+    params = variables.get("params", {})
+    kernel = params.get("stem", {}).get("conv", {}).get("kernel")
+    if kernel is None or kernel.shape[3] == channels:
+        return variables
+    k = np.asarray(kernel)
+    adapted = np.repeat(k.mean(axis=3, keepdims=True), channels, axis=3)
+    adapted *= k.shape[3] / channels
+    new = dict(variables)
+    new["params"] = dict(params)
+    new["params"]["stem"] = dict(params["stem"])
+    new["params"]["stem"]["conv"] = dict(params["stem"]["conv"])
+    new["params"]["stem"]["conv"]["kernel"] = jnp.asarray(
+        adapted, dtype=kernel.dtype
+    )
+    return new
+
+
 class FeatureExtractor:
     """TPU feature extractor with per-resolution compile caching.
 
@@ -79,6 +106,10 @@ class FeatureExtractor:
                     jnp.float32,
                 ),
             )
+        else:
+            # --stream both shares one pretrained RGB weight tree between
+            # streams; the flow model's 2-channel stem bootstraps from it
+            variables = adapt_stem_channels(variables, self.channels)
         self.variables = variables
         self.mesh = mesh
         n_shards = 1 if mesh is None else int(mesh.devices.size)

@@ -180,10 +180,14 @@ def main(argv=None) -> None:
         devices = jax.local_devices()
         mesh = make_mesh((len(devices),), ("data",), devices)
 
+    # load once: --stream both builds two extractors (the flow stream's
+    # 2-channel stem bootstraps from the same RGB tree in FeatureExtractor)
+    weight_variables = load_weights(args.weights, args.model)
+
     def make_extractor(stream):
         return FeatureExtractor(
             model_name=args.model,
-            variables=load_weights(args.weights, args.model),
+            variables=weight_variables,
             dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
             batch=args.batch,
             # float32 runs are parity runs: use the PIL-bit-exact resize

@@ -149,6 +149,42 @@ def test_flow_stream_extraction(rng):
     assert np.isfinite(feats).all()
 
 
+def test_flow_extractor_adapts_rgb_stem_weights(extractor, rng):
+    """--stream both shares one pretrained RGB weight tree: the flow
+    model's 2-channel stem bootstraps from it by the two-stream I3D recipe
+    (mean over the RGB input axis, rescale 3/2 — Carreira & Zisserman
+    2017 §4). Previously this crashed with a stem shape mismatch."""
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        adapt_stem_channels,
+    )
+
+    flow_ex = FeatureExtractor(
+        dtype=jnp.float32, batch=10, stream="flow",
+        variables=extractor.variables, flow_backend="host",
+    )
+    k3 = np.asarray(extractor.variables["params"]["stem"]["conv"]["kernel"])
+    k2 = np.asarray(flow_ex.variables["params"]["stem"]["conv"]["kernel"])
+    assert k2.shape == k3.shape[:3] + (2,) + k3.shape[4:]
+    expect = k3.mean(axis=3) * 1.5
+    np.testing.assert_allclose(k2[..., 0, :], expect, rtol=1e-6)
+    np.testing.assert_allclose(k2[..., 1, :], expect, rtol=1e-6)
+    # past the stem everything is shared as-is
+    flow_b0 = flow_ex.variables["params"]["stage1_block0"]
+    rgb_b0 = extractor.variables["params"]["stage1_block0"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(flow_b0), jax.tree_util.tree_leaves(rgb_b0)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    feats = flow_ex.extract_frames(
+        rng.randint(0, 256, (16, 64, 96, 2), np.uint8)
+    )
+    assert feats.shape == (1, 10, 2048)
+    assert np.isfinite(feats).all()
+    # no-op when channels already match
+    same = adapt_stem_channels(extractor.variables, 3)
+    assert same is extractor.variables
+
+
 def test_pooled_extraction_matches_serial(rng, tmp_path):
     import cv2
     import jax.numpy as jnp
