@@ -96,10 +96,9 @@ def build_scorer(args):
         raise SystemExit(
             f"--torch-weights {args.torch_weights!r}: no such file"
         )
-    if args.i3d_weights and not os.path.isfile(args.i3d_weights):
-        raise SystemExit(
-            f"--i3d-weights {args.i3d_weights!r}: no such file"
-        )
+    i3d_weights = getattr(args, "i3d_weights", None)
+    if i3d_weights and not os.path.isfile(i3d_weights):
+        raise SystemExit(f"--i3d-weights {i3d_weights!r}: no such file")
 
     overrides = {}
     for kv in args.model_config or []:
@@ -176,18 +175,22 @@ def build_scorer(args):
                 f"--checkpoint {args.checkpoint!r}: directory contains no "
                 "checkpoints (expected an orbax directory written by run.py)"
             )
-        # --checkpoint-step picks latest (default) / best / an exact step
+        # --checkpoint-step picks latest (default) / best / an exact step.
+        # Only step SELECTION errors map to the flag; a restore failure
+        # (e.g. a --model-config override reshaping the model away from
+        # the stored arrays) propagates as its own ValueError
         try:
-            state = ckpt.restore(
-                template, step=getattr(args, "checkpoint_step", "latest")
+            step = ckpt.resolve_step(
+                getattr(args, "checkpoint_step", "latest")
             )
         except ValueError as exc:
             raise SystemExit(f"--checkpoint-step: {exc}")
+        state = ckpt.restore(template, step=step)
         variables = state.variables
     else:
         raise SystemExit("one of --checkpoint / --torch-weights is required")
 
-    return model.apply, variables, make_eval_step(), model_name
+    return model.apply, variables, make_eval_step(), model_name, model
 
 
 def score_features(features, apply_fn, variables, eval_step):
@@ -545,7 +548,7 @@ def main(argv=None) -> None:
     def make_extractor(s):
         return FeatureExtractor(
             model_name=args.i3d_model,
-            variables=load_weights(args.i3d_weights, args.i3d_model),
+            variables=i3d_variables,
             dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
             quantize=(args.dtype == "int8"),
             batch=args.batch,
@@ -558,7 +561,38 @@ def main(argv=None) -> None:
 
     # scorer first: its checkpoint/weights validation must fail fast,
     # before the (expensive, warning-emitting) I3D extractor is built
-    apply_fn, variables, eval_step, model_name = build_scorer(args)
+    apply_fn, variables, eval_step, model_name, scorer_model = build_scorer(
+        args
+    )
+
+    # fail fast on a stream/scorer width mismatch: this CLI's extractor
+    # emits 2048-d features per stream (4096-d concatenated for 'both'),
+    # and a mismatched scorer would otherwise die mid-run on the first
+    # video with an opaque flax shape error
+    extracted_dim = 4096 if stream == "both" else 2048
+    scorer_dim = getattr(
+        getattr(scorer_model, "config", None), "channels", extracted_dim
+    )
+    if scorer_dim != extracted_dim:
+        hint = (
+            "retrain with data.stream=both or pass --model-config "
+            "channels=4096"
+            if stream == "both"
+            else "pass --stream both (this scorer was trained on "
+            "concatenated RGB+flow features)"
+            if scorer_dim == 4096
+            else f"pass --model-config channels={extracted_dim}"
+        )
+        raise SystemExit(
+            f"--stream {stream} extracts {extracted_dim}-d features but "
+            f"the {model_name} scorer expects {scorer_dim}-d input; {hint}"
+        )
+
+    # load once, after the scorer validation above has had its chance to
+    # fail fast: --stream both builds two extractors from this one tree
+    # (the flow stream's 2-channel stem bootstraps from the RGB weights
+    # inside FeatureExtractor)
+    i3d_variables = load_weights(args.i3d_weights, args.i3d_model)
 
     extractor = make_extractor("rgb" if stream != "flow" else "flow")
     flow_extractor = make_extractor("flow") if stream == "both" else None
@@ -576,30 +610,33 @@ def main(argv=None) -> None:
         from anomaly_detection_on_video_tpu.training.runner import eval_bucket
 
         t0 = _time.time()
-        if extractor.quantize and getattr(
-            extractor, "_needs_calibration", False
-        ):
-            # int8 calibrates activation scales on the first REAL chunk;
-            # warming up on zeros would pin degenerate scales
-            print("warmup: skipping extractor (int8 awaits calibration "
-                  "on the first real video)", flush=True)
-        else:
-            # compiles fused preprocessing (per input resolution; 240x320
-            # is the dominant UCF-Crime shape) + the I3D forward (shared
-            # by every resolution — the expensive compile). Flow streams
-            # consume quantized 2-channel flow; 127 is the zero-flow level
-            for ex in filter(None, (extractor, flow_extractor)):
-                ex.extract_frames(np.full(
-                    (args.frames_per_clip, 240, 320, ex.channels),
-                    127, np.uint8,
-                ))
+        # compiles fused preprocessing (per input resolution; 240x320
+        # is the dominant UCF-Crime shape) + the I3D forward (shared
+        # by every resolution — the expensive compile). Flow streams
+        # consume quantized 2-channel flow; 127 is the zero-flow level.
+        # Guard per extractor: int8 calibrates activation scales on the
+        # first REAL chunk, and warming up on a constant chunk would pin
+        # degenerate scales (each stream calibrates independently)
+        for ex in filter(None, (extractor, flow_extractor)):
+            if ex.quantize and getattr(ex, "_needs_calibration", False):
+                print(
+                    f"warmup: skipping {ex.stream} extractor (int8 awaits "
+                    "calibration on the first real video)", flush=True,
+                )
+                continue
+            ex.extract_frames(np.full(
+                (args.frames_per_clip, 240, 320, ex.channels),
+                127, np.uint8,
+            ))
         # every scorer eval bucket a video of <= --warmup clips can hit
         buckets, n = {eval_bucket(args.warmup)}, 1
         while n <= args.warmup:
             buckets.add(eval_bucket(n))
             n *= 2
         n_crops = 10 if args.crops == "ten" else 1
-        fdim = 4096 if stream == "both" else 2048
+        # the scorer's true feature width, validated against the stream
+        # mode above (two-stream checkpoints carry channels=4096)
+        fdim = scorer_dim
         for bucket in sorted(buckets):
             score_features(
                 np.zeros((bucket, n_crops, fdim), np.float32),

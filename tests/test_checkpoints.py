@@ -158,7 +158,7 @@ def test_build_scorer_from_metadata(tmp_path):
     from infer import build_scorer
 
     state = _tiny_checkpoint(tmp_path)
-    apply_fn, variables, _, model_name = build_scorer(
+    apply_fn, variables, _, model_name, _model = build_scorer(
         _infer_args(checkpoint=str(tmp_path))
     )
     assert model_name == "mgfn"

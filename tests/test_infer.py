@@ -105,6 +105,32 @@ def test_infer_main_data_parallel_center_crop(tmp_path):
     assert feats.shape == (3, 1, 2048)
 
 
+def test_infer_main_stream_width_mismatch_fails_fast(tmp_path):
+    """A scorer whose feature width cannot match the selected stream mode
+    must die with a clear SystemExit BEFORE extraction starts — not with
+    an opaque flax shape error on the first scored video."""
+    import pytest
+
+    import infer
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    write_video(videos / "Abuse_demo.avi", n_frames=40)
+    # a 4096-d (two-stream) scorer, but no persisted data.stream: the CLI
+    # defaults to --stream rgb (2048-d features)
+    make_sultani_checkpoint(tmp_path / "ckpts", channels=4096)
+
+    with pytest.raises(SystemExit, match="4096-d input.*--stream both"):
+        infer.main(
+            [
+                "--videos", str(videos),
+                "--checkpoint", str(tmp_path / "ckpts"),
+                "--outdir", str(tmp_path / "scores"),
+                "--dtype", "float32",
+            ]
+        )
+
+
 def test_infer_main_two_stream_from_checkpoint_hparams(tmp_path):
     """A checkpoint trained with data.stream=both is scored two-stream with
     NO --stream flag: infer reads the persisted data config, extracts RGB +
