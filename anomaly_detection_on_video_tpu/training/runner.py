@@ -522,6 +522,7 @@ class VideoAnomalyDetectionRunner:
         seed: int = 0,
         eval_batch_videos: int = 8,
         precision: str = "32-true",
+        grad_clip: Optional[float] = None,
     ):
         optimizer_cfg = dict(optimizer_cfg or {})
         self.precision = precision
@@ -535,6 +536,7 @@ class VideoAnomalyDetectionRunner:
         self.tx = adam_with_l2(
             learning_rate=self.learning_rate,
             weight_decay=float(optimizer_cfg.get("weight_decay", 5e-4)),
+            grad_clip=grad_clip,
         )
         if mesh is not None:
             # eval groups are padded to eval_batch_videos, so rounding up to
@@ -617,6 +619,8 @@ class VideoAnomalyDetectionRunner:
         figure_dir: Optional[str] = None,
         batch_videos: Optional[int] = None,
         handle_signals: Iterable[str] = (),
+        max_steps: int = -1,
+        log_every_n_steps: Optional[int] = None,
     ) -> Optional[EvalResult]:
         """Train with per-epoch evaluation (reference flow: run.py:35 +
         src/runner.py loops; shuffle=False matches src/runner.py:108-124).
@@ -663,6 +667,7 @@ class VideoAnomalyDetectionRunner:
                 normal, abnormal, valid_dataset, max_epochs, batch_size,
                 shuffle, eval_every, frames_per_clip, figure_dir,
                 batch_videos, rng, last_eval, stop_signal,
+                max_steps, log_every_n_steps,
             )
         finally:
             if restore_handlers:
@@ -674,7 +679,7 @@ class VideoAnomalyDetectionRunner:
     def _fit_loop(
         self, normal, abnormal, valid_dataset, max_epochs, batch_size,
         shuffle, eval_every, frames_per_clip, figure_dir, batch_videos,
-        rng, last_eval, stop_signal,
+        rng, last_eval, stop_signal, max_steps=-1, log_every_n_steps=None,
     ) -> Optional[EvalResult]:
         # Preemption stop decision. Multi-process runs must agree on the
         # stop BOUNDARY: the scheduler's signals land at slightly different
@@ -699,7 +704,14 @@ class VideoAnomalyDetectionRunner:
         # continue step numbering after a resume so new checkpoints don't
         # collide with (or overwrite) the restored ones
         step = int(self.state.step) if self.state is not None else 0
+        # per-step metric cadence (reference trainer knob
+        # log_every_n_steps; null/None = every step) and the optimizer-step
+        # budget (reference trainer knob max_steps; -1 = unlimited)
+        log_every = max(1, int(log_every_n_steps or 1))
+        hit_max = max_steps >= 0 and step >= max_steps
         for epoch in range(max_epochs):
+            if hit_max:
+                break
             epoch_losses = []
             t0 = time.time()
             for batch in train_batches(
@@ -724,8 +736,15 @@ class VideoAnomalyDetectionRunner:
                 epoch_losses.append(loss)
                 # lr-Adam: the reference's LearningRateMonitor callback name
                 # (configs/trainer/callbacks/lrmonitor.yaml, interval=step)
-                self._log({"train_loss": loss, "lr-Adam": self.learning_rate}, step)
+                if (step + 1) % log_every == 0:
+                    self._log(
+                        {"train_loss": loss, "lr-Adam": self.learning_rate},
+                        step,
+                    )
                 step += 1
+                if max_steps >= 0 and step >= max_steps:
+                    hit_max = True
+                    break
                 if stop_requested():
                     stop_signal["stopped"] = True
                     break
@@ -758,7 +777,11 @@ class VideoAnomalyDetectionRunner:
                 "epoch_time_s": time.time() - t0,
                 "train_loss_epoch": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
             }
-            if valid_dataset is not None and (epoch + 1) % eval_every == 0:
+            # the max_steps stop boundary always evaluates (so the final
+            # checkpoint ranks by a real metric), like a normal epoch end
+            if valid_dataset is not None and (
+                (epoch + 1) % eval_every == 0 or hit_max
+            ):
                 last_eval = evaluate(
                     self.state, valid_dataset, frames_per_clip, self._eval_step,
                     batch_videos=batch_videos or self.eval_batch_videos,
@@ -795,6 +818,9 @@ class VideoAnomalyDetectionRunner:
                     self.checkpointer.wait()  # orbax saves are async
                     for logger in uploaders:
                         logger.log_artifact(ckpt_path, f"checkpoint-step{step}")
+            if hit_max:
+                print(f"max_steps {max_steps} reached at step {step}, stopping")
+                break
         if self.checkpointer is not None:
             # orbax saves are async; an unawaited save at interpreter exit
             # dies with "cannot schedule new futures" and leaves tmp dirs

@@ -334,6 +334,7 @@ def main(argv=None) -> None:
         seed=int(cfg.get("seed", 0)),
         eval_batch_videos=int(trainer_cfg.get("eval_batch_videos", 8)),
         precision=str(trainer_cfg.get("precision", "32-true")),
+        grad_clip=trainer_cfg.get("gradient_clip_val"),
     )
 
     stream = data_cfg.get("stream", "rgb")
@@ -443,6 +444,11 @@ def main(argv=None) -> None:
         train_datasets,
         valid_dataset=valid_dataset,
         max_epochs=int(trainer_cfg.get("max_epochs", 1000)),
+        max_steps=(
+            -1 if trainer_cfg.get("max_steps") is None
+            else int(trainer_cfg["max_steps"])
+        ),
+        log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
         batch_size=int(data_cfg.get("batch_size", 16)),
         shuffle=bool(data_cfg.get("shuffle", False)),
         eval_every=int(trainer_cfg.get("eval_every", 1)),

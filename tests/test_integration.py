@@ -133,7 +133,14 @@ def test_full_pipeline(tmp_path):
         f"data.test_path={test_dir}",
         f"data.ground_truth_path={gt_path}",
         "data.batch_size=2",
-        "trainer.max_epochs=2",
+        # max_epochs alone would run 5 steps (1 step/epoch here); the
+        # reference trainer's max_steps knob must cut training at step 3,
+        # with log_every_n_steps thinning per-step metrics and
+        # gradient_clip_val accepted (Lightning knob parity)
+        "trainer.max_epochs=5",
+        "trainer.max_steps=3",
+        "trainer.log_every_n_steps=2",
+        "trainer.gradient_clip_val=1.0",
         f"trainer.log_path={run_dir}/metrics.jsonl",
         f"trainer.checkpoint.dirpath={run_dir}/ckpt",
         # shrink the model so the CPU test is fast
@@ -142,9 +149,13 @@ def test_full_pipeline(tmp_path):
         "runner.model_config.dim_head=8",
     )
     assert "valid/rec_auc=" in result.stdout
+    assert "max_steps 3 reached at step 3" in result.stdout
     records = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
     keys = {k for r in records for k in r}
     assert {"train_loss", "valid/rec_auc", "valid/pr_auc"} <= keys
+    # log_every_n_steps=2: of step indices 0..2, only index 1 hits the
+    # every-2nd-step boundary
+    assert [r["step"] for r in records if "train_loss" in r] == [1]
     # checkpoints written, self-describing (hparams.json, run.py)
     assert any(os.scandir(run_dir / "ckpt"))
     hparams = json.load(open(run_dir / "ckpt" / "hparams.json"))

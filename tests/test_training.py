@@ -180,6 +180,81 @@ def test_runner_fit_end_to_end(rng, tmp_path):
     assert {"train_loss", "valid/rec_auc", "valid/pr_auc"} <= keys
 
 
+def test_fit_max_steps_log_cadence_and_grad_clip(rng, tmp_path):
+    """The reference trainer's remaining Lightning knobs
+    (configs/trainer/default.yaml:4-7): max_steps caps optimizer steps
+    mid-epoch and the stop boundary still evals + checkpoints;
+    log_every_n_steps thins the per-step metric stream; gradient_clip_val
+    clips raw gradients by global norm before the L2 term."""
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+
+    config, model = build_model("mgfn", **TINY)
+    mk = lambda kind: FeatureDataset(
+        filenames=[f"{kind}_{i}_i3d.npy" for i in range(4)],
+        _arrays={
+            f"{kind}_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(
+                np.float32
+            )
+            for i in range(4)
+        },
+    )
+
+    class Capture:
+        def __init__(self):
+            self.records = []
+
+        def log(self, metrics, step):
+            self.records.append((step, metrics))
+
+    cap = Capture()
+    ckpt = TopKCheckpointer(str(tmp_path))
+    runner = VideoAnomalyDetectionRunner(
+        model, loggers=[cap], checkpointer=ckpt, grad_clip=1.0
+    )
+    result = runner.fit(
+        {"normal": mk("Normal"), "abnormal": mk("Abuse")},
+        valid_dataset=make_eval_dataset(rng),
+        max_epochs=50,  # would be 100 steps; max_steps must cut it short
+        batch_size=2,
+        max_steps=3,
+        log_every_n_steps=2,
+    )
+    ckpt.wait()
+    assert int(runner.state.step) == 3  # 2 steps/epoch: stopped mid-epoch 2
+    # the stop boundary evaluated and checkpointed with the metric
+    assert result is not None and 0.0 <= result.rec_auc <= 1.0
+    assert ckpt.resolve_step("latest") == 3
+    assert ckpt.manager.metrics(3) is not None
+    # log_every_n_steps=2: per-step metrics only on steps 1 and 3 (1-based
+    # cadence, logged with the pre-increment step index)
+    loss_steps = [s for s, m in cap.records if "train_loss" in m]
+    assert loss_steps == [1]  # step index 1 == the 2nd step; the 3rd step
+    # (index 2) stops the run before its (2k)th-step boundary
+
+
+def test_grad_clip_bounds_the_update():
+    """adam_with_l2(grad_clip=...) clips BEFORE the Adam moments: a huge
+    raw gradient clipped far below Adam's eps produces a near-zero first
+    update (lr * g / (sqrt(g^2) + eps) ~ lr * g / eps), while unclipped
+    Adam saturates at ~learning_rate per element."""
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 1e6)}
+
+    tx = adam_with_l2(learning_rate=1e-3, weight_decay=0.0, grad_clip=1e-12)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.abs(updates["w"]).max()) < 1e-6
+
+    tx_unclipped = adam_with_l2(learning_rate=1e-3, weight_decay=0.0)
+    updates, _ = tx_unclipped.update(
+        grads, tx_unclipped.init(params), params
+    )
+    assert float(jnp.abs(updates["w"]).max()) > 5e-4
+
+
 def test_batched_eval_matches_single(rng):
     """Bucket-batched eval (batch_videos>1) must produce identical AUC to the
     per-video loop — masking keeps batching exact."""
