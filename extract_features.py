@@ -40,10 +40,10 @@ def find_videos(spec: str):
     return files
 
 
-def load_weights(path: str | None, model_name: str):
+def load_weights(path: str | None, model_name: str, flag: str = "--weights"):
     if path is None:
         print(
-            "WARNING: no --weights given; using random initialization "
+            f"WARNING: no {flag} given; using random initialization "
             "(features will not match any pretrained reference)",
             file=sys.stderr,
         )
@@ -141,6 +141,21 @@ def main(argv=None) -> None:
         parser.error("--multihost supports --videos local mode only")
     if args.weights and not os.path.isfile(args.weights):
         parser.error(f"--weights {args.weights!r}: no such file")
+    if args.batch < 1:
+        parser.error(f"--batch must be >= 1 (got {args.batch})")
+    if args.flow_backend and args.stream == "rgb":
+        print(
+            "warning: --flow-backend has no effect with --stream rgb "
+            "(no optical-flow stream is extracted)",
+            file=sys.stderr,
+        )
+    videos_list = None
+    if not args.hf_dataset:
+        # fail fast on an empty/typo'd --videos BEFORE device init and the
+        # (expensive) extractor build
+        if not args.videos:
+            parser.error("one of --videos / --hf-dataset is required")
+        videos_list = find_videos(args.videos)
 
     if args.compile_cache:
         from anomaly_detection_on_video_tpu.utils.compile_cache import (
@@ -223,9 +238,7 @@ def main(argv=None) -> None:
             print(f"{mode}: extracted {n} new videos -> {outdir}")
         train_dir = os.path.join(args.outdir, "anomaly_features", "train")
     else:
-        if not args.videos:
-            parser.error("one of --videos / --hf-dataset is required")
-        videos = find_videos(args.videos)
+        videos = videos_list
         outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
         pi, pc = (
             (jax.process_index(), jax.process_count())

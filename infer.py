@@ -496,6 +496,15 @@ def main(argv=None) -> None:
         parser.error("--watch and --serve are mutually exclusive")
     if args.videos is None and args.serve is None:
         parser.error("--videos is required (unless --serve)")
+    if args.batch < 1:
+        parser.error(f"--batch must be >= 1 (got {args.batch})")
+    if args.threshold is not None and not 0.0 <= args.threshold <= 1.0:
+        # scores are sigmoid outputs in [0, 1]; an out-of-range threshold
+        # silently produces no (or all-frame) events
+        parser.error(
+            f"--threshold must be in [0, 1] (got {args.threshold}; "
+            "frame scores are sigmoid probabilities)"
+        )
 
     videos = find_videos(args.videos) if args.videos else []
     if not videos and not args.watch and args.serve is None:
@@ -592,7 +601,9 @@ def main(argv=None) -> None:
     # fail fast: --stream both builds two extractors from this one tree
     # (the flow stream's 2-channel stem bootstraps from the RGB weights
     # inside FeatureExtractor)
-    i3d_variables = load_weights(args.i3d_weights, args.i3d_model)
+    i3d_variables = load_weights(
+        args.i3d_weights, args.i3d_model, flag="--i3d-weights"
+    )
 
     extractor = make_extractor("rgb" if stream != "flow" else "flow")
     flow_extractor = make_extractor("flow") if stream == "both" else None

@@ -185,6 +185,25 @@ def test_flow_extractor_adapts_rgb_stem_weights(extractor, rng):
     assert same is extractor.variables
 
 
+def test_extract_cli_flag_validation(capsys):
+    """--batch < 1 dies at argparse; --flow-backend without a flow stream
+    warns that it is ignored (both found by CLI probing)."""
+    import pytest
+
+    import extract_features
+
+    with pytest.raises(SystemExit):
+        extract_features.main(
+            ["--videos", "v", "--outdir", "o", "--batch", "0"]
+        )
+    with pytest.raises(SystemExit):  # empty video dir exits cleanly later,
+        extract_features.main(  # but the warning must print first
+            ["--videos", "/nonexistent_dir_xyz", "--outdir", "/tmp/_efv",
+             "--flow-backend", "tvl1"]
+        )
+    assert "--flow-backend has no effect" in capsys.readouterr().err
+
+
 def test_pooled_extraction_matches_serial(rng, tmp_path):
     import cv2
     import jax.numpy as jnp

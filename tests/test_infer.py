@@ -105,6 +105,23 @@ def test_infer_main_data_parallel_center_crop(tmp_path):
     assert feats.shape == (3, 1, 2048)
 
 
+def test_infer_cli_flag_validation():
+    """Bogus numeric flags die at argparse with a named message, before
+    any device/weights work."""
+    import pytest
+
+    import infer
+
+    for argv in (
+        ["--videos", "v", "--outdir", "o", "--checkpoint", "c",
+         "--threshold", "7"],
+        ["--videos", "v", "--outdir", "o", "--checkpoint", "c",
+         "--batch", "0"],
+    ):
+        with pytest.raises(SystemExit):
+            infer.main(argv)
+
+
 def test_infer_main_stream_width_mismatch_fails_fast(tmp_path):
     """A scorer whose feature width cannot match the selected stream mode
     must die with a clear SystemExit BEFORE extraction starts — not with
