@@ -621,6 +621,7 @@ class VideoAnomalyDetectionRunner:
         handle_signals: Iterable[str] = (),
         max_steps: int = -1,
         log_every_n_steps: Optional[int] = None,
+        checkpoint_every_n_epochs: int = 1,
     ) -> Optional[EvalResult]:
         """Train with per-epoch evaluation (reference flow: run.py:35 +
         src/runner.py loops; shuffle=False matches src/runner.py:108-124).
@@ -667,7 +668,7 @@ class VideoAnomalyDetectionRunner:
                 normal, abnormal, valid_dataset, max_epochs, batch_size,
                 shuffle, eval_every, frames_per_clip, figure_dir,
                 batch_videos, rng, last_eval, stop_signal,
-                max_steps, log_every_n_steps,
+                max_steps, log_every_n_steps, checkpoint_every_n_epochs,
             )
         finally:
             if restore_handlers:
@@ -680,6 +681,7 @@ class VideoAnomalyDetectionRunner:
         self, normal, abnormal, valid_dataset, max_epochs, batch_size,
         shuffle, eval_every, frames_per_clip, figure_dir, batch_videos,
         rng, last_eval, stop_signal, max_steps=-1, log_every_n_steps=None,
+        checkpoint_every_n_epochs=1,
     ) -> Optional[EvalResult]:
         # Preemption stop decision. Multi-process runs must agree on the
         # stop BOUNDARY: the scheduler's signals land at slightly different
@@ -803,7 +805,20 @@ class VideoAnomalyDetectionRunner:
                         # figure failure kill the epoch's metrics/checkpoint
                         print(f"warning: eval figure failed: {exc}")
             self._log(metrics, step)
-            if self.checkpointer is not None and self.state is not None:
+            # epoch cadence of the reference's ModelCheckpoint callback
+            # (model_checkpoint.yaml `every_n_epochs`); stop boundaries
+            # (max_steps, final epoch) always save so a finished run never
+            # ends checkpoint-less between boundaries
+            save_this_epoch = (
+                (epoch + 1) % max(1, checkpoint_every_n_epochs) == 0
+                or hit_max
+                or epoch == max_epochs - 1
+            )
+            if (
+                self.checkpointer is not None
+                and self.state is not None
+                and save_this_epoch
+            ):
                 ckpt_path = self.checkpointer.save(
                     step=step,
                     state=self.state,

@@ -449,6 +449,9 @@ def main(argv=None) -> None:
             else int(trainer_cfg["max_steps"])
         ),
         log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
+        checkpoint_every_n_epochs=int(
+            trainer_cfg.get("checkpoint", {}).get("every_n_epochs", 1) or 1
+        ),
         batch_size=int(data_cfg.get("batch_size", 16)),
         shuffle=bool(data_cfg.get("shuffle", False)),
         eval_every=int(trainer_cfg.get("eval_every", 1)),

@@ -234,6 +234,42 @@ def test_fit_max_steps_log_cadence_and_grad_clip(rng, tmp_path):
     # (index 2) stops the run before its (2k)th-step boundary
 
 
+def test_checkpoint_every_n_epochs_cadence(rng, tmp_path):
+    """checkpoint_every_n_epochs (the reference ModelCheckpoint callback's
+    every_n_epochs, model_checkpoint.yaml) thins epoch-end saves; the
+    final epoch always saves so a finished run never ends checkpoint-less
+    between cadence boundaries."""
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+
+    config, model = build_model("mgfn", **TINY)
+    mk = lambda kind: FeatureDataset(
+        filenames=[f"{kind}_{i}_i3d.npy" for i in range(2)],
+        _arrays={
+            f"{kind}_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(
+                np.float32
+            )
+            for i in range(2)
+        },
+    )
+    ckpt = TopKCheckpointer(str(tmp_path))
+    runner = VideoAnomalyDetectionRunner(model, checkpointer=ckpt)
+    runner.fit(
+        {"normal": mk("Normal"), "abnormal": mk("Abuse")},
+        # eval every epoch so each saving epoch carries a metric (top-k
+        # preservation; metric-less saves only survive while latest)
+        valid_dataset=make_eval_dataset(rng),
+        max_epochs=5,  # 1 step/epoch -> steps 1..5
+        batch_size=2,
+        checkpoint_every_n_epochs=2,
+    )
+    ckpt.wait()
+    # epochs 1 and 3 hit the every-2nd-epoch boundary (steps 2, 4); the
+    # final epoch 4 (step 5) always saves
+    assert sorted(ckpt.manager.all_steps()) == [2, 4, 5]
+
+
 def test_grad_clip_bounds_the_update():
     """adam_with_l2(grad_clip=...) clips BEFORE the Adam moments: a huge
     raw gradient clipped far below Adam's eps produces a near-zero first
