@@ -93,6 +93,16 @@ def test_root_scalar_override_on_repo_configs():
     assert cfg["runner"]["model_class"]
 
 
+def test_reference_num_workers_override_composes():
+    """`data.num_workers=N` from a copy-pasted reference command must
+    compose (reference: configs/data/default.yaml:3). The value is an
+    accepted no-op here — there are no DataLoader worker processes."""
+    repo_configs = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = compose(repo_configs, "default", ["runner=mgfn", "data.num_workers=4"])
+    assert cfg["data"]["num_workers"] == 4
+    assert compose(repo_configs, "default", [])["data"]["num_workers"] == 8
+
+
 def test_quoted_string_values_stay_strings(tree):
     """Explicitly quoted tokens must not be float-coerced (Hydra preserves
     quoted strings): +extra.k='1e-3' stays the string '1e-3'."""
