@@ -217,20 +217,30 @@ def build_feature_dataset(
 
     if local_path is None:
         from huggingface_hub import hf_hub_download  # network path, optional
+        from huggingface_hub.errors import LocalEntryNotFoundError
 
-        filepath = hf_hub_download(
-            repo_id=DEFAULT_FEATURE_HUB,
-            filename=DEFAULT_FILENAMES[mode],
-            cache_dir=cache_dir,
-            revision=revision,
-            repo_type="dataset",
-        )
-        if mode == "test" and ground_truth_path is None:
-            ground_truth_path = hf_hub_download(
+        try:
+            filepath = hf_hub_download(
                 repo_id=DEFAULT_FEATURE_HUB,
-                filename="ground_truth.json",
+                filename=DEFAULT_FILENAMES[mode],
+                cache_dir=cache_dir,
+                revision=revision,
                 repo_type="dataset",
             )
+            if mode == "test" and ground_truth_path is None:
+                ground_truth_path = hf_hub_download(
+                    repo_id=DEFAULT_FEATURE_HUB,
+                    filename="ground_truth.json",
+                    repo_type="dataset",
+                )
+        except LocalEntryNotFoundError as exc:
+            raise FileNotFoundError(
+                f"cannot download {DEFAULT_FEATURE_HUB}/"
+                f"{DEFAULT_FILENAMES[mode]} from the HF hub (no network or "
+                f"not cached). Point the {mode} split at local features "
+                f"instead: data.{mode}_path=<zip-or-dir> (or "
+                f"data.local_path=<dir> for both splits)."
+            ) from exc
     elif filename is not None:
         filepath = os.path.join(local_path, filename)
     else:

@@ -105,7 +105,14 @@ def run_multirun(config_dir: str, argv, sweep_dir: str) -> None:
                 extra.append(
                     f"trainer.log_path={os.path.join(job_dir, 'metrics.jsonl')}"
                 )
-            cfg = compose(config_dir, "default", job_args)
+            try:
+                cfg = compose(config_dir, "default", job_args)
+            except (ValueError, KeyError, FileNotFoundError) as exc:
+                msg = exc.args[0] if exc.args else exc
+                raise SystemExit(
+                    f"config error in multirun job {idx}"
+                    f" ({' '.join(job_args)}): {msg}\n(see python run.py --help)"
+                )
             trainer_cfg = cfg.get("trainer", {})
             if (
                 (trainer_cfg.get("checkpoint") or {}).get("dirpath")
@@ -361,7 +368,15 @@ def main(argv=None) -> None:
             stream=stream,
         )
 
-    valid_dataset = build_feature_dataset(
+    def load_split(mode, **kw):
+        # missing local paths and failed hub downloads (zero-network hosts)
+        # are user errors, not tracebacks
+        try:
+            return build_feature_dataset(mode, **kw)
+        except FileNotFoundError as exc:
+            raise SystemExit(f"data error: {exc}")
+
+    valid_dataset = load_split(
         "test",
         ground_truth_path=data_cfg.get("ground_truth_path"),
         **data_kwargs("test"),
@@ -417,7 +432,7 @@ def main(argv=None) -> None:
         print(json.dumps(metrics))
         return
 
-    train_datasets = build_feature_dataset("train", **data_kwargs("train"))
+    train_datasets = load_split("train", **data_kwargs("train"))
 
     if trainer_cfg.get("resume") and checkpointer is not None:
         # initialize state from an example batch, then restore the selected

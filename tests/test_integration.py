@@ -212,6 +212,22 @@ def test_full_pipeline(tmp_path):
     assert "Traceback" not in result.stderr
 
 
+def test_run_cli_missing_data_is_clean_error(tmp_path):
+    """A bad data path (or, with no path, a failed hub download on a
+    zero-network host) must exit with a one-line `data error:`, not a
+    traceback (run.py load_split)."""
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "runner=mgfn",
+         "data.test_path=/nonexistent/features_xyz",
+         "trainer.log_path="],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600,
+    )
+    assert result.returncode != 0
+    assert "data error:" in result.stderr
+    assert "Traceback" not in result.stderr
+
+
 @pytest.mark.slow
 def test_run_cli_tensor_parallel(tmp_path):
     """The VERDICT r2 acceptance command: `run.py runner=mgfn seed=1
