@@ -35,19 +35,27 @@ def main(argv=None) -> None:
     annotations, features = args.annotations, args.features
     if annotations is None or features is None:
         from huggingface_hub import hf_hub_download  # network mode
+        from huggingface_hub.errors import LocalEntryNotFoundError
 
-        if annotations is None:
-            annotations = hf_hub_download(
-                repo_id="jinmang2/ucf_crime",
-                filename="Temporal_Anomaly_Annotation_for_Testing_Videos.txt",
-                subfolder="UCF_Crimes-Train-Test-Split",
-                repo_type="dataset",
-            )
-        if features is None:
-            features = hf_hub_download(
-                repo_id="jinmang2/ucf_crime_tencrop_i3d_seg32",
-                filename="test.zip",
-                repo_type="dataset",
+        try:
+            if annotations is None:
+                annotations = hf_hub_download(
+                    repo_id="jinmang2/ucf_crime",
+                    filename="Temporal_Anomaly_Annotation_for_Testing_Videos.txt",
+                    subfolder="UCF_Crimes-Train-Test-Split",
+                    repo_type="dataset",
+                )
+            if features is None:
+                features = hf_hub_download(
+                    repo_id="jinmang2/ucf_crime_tencrop_i3d_seg32",
+                    filename="test.zip",
+                    repo_type="dataset",
+                )
+        except LocalEntryNotFoundError:
+            parser.error(
+                "cannot download the annotations/features from the HF hub "
+                "(no network or not cached); pass local files with "
+                "--annotations and --features instead"
             )
 
     from anomaly_detection_on_video_tpu.data.gt import (

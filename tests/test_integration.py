@@ -212,6 +212,21 @@ def test_full_pipeline(tmp_path):
     assert "Traceback" not in result.stderr
 
 
+def test_make_gt_cli_offline_hub_is_clean_error(tmp_path):
+    """HF mode (no --annotations/--features) on a host with no network must
+    print argparse's one-line error, not a LocalEntryNotFoundError traceback
+    (make_gt_ucf.py). HF_HUB_OFFLINE pins the no-network condition."""
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "make_gt_ucf.py"),
+         "--out", str(tmp_path / "gt.json")],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+        env=dict(ENV, HF_HUB_OFFLINE="1"),
+    )
+    assert result.returncode != 0
+    assert "cannot download" in result.stderr
+    assert "Traceback" not in result.stderr
+
+
 def test_run_cli_missing_data_is_clean_error(tmp_path):
     """A bad data path (or, with no path, a failed hub download on a
     zero-network host) must exit with a one-line `data error:`, not a
