@@ -13,6 +13,20 @@ import tempfile
 import numpy as np
 
 
+def atomic_write_bytes(path: str, blob: bytes) -> None:
+    directory = os.path.dirname(path) or "."
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def atomic_save(path: str, array: np.ndarray) -> None:
     directory = os.path.dirname(path) or "."
     os.makedirs(directory, exist_ok=True)

@@ -38,6 +38,14 @@ extract_features.py). Two-stream checkpoints (trained with
 ``data.stream=both``) are detected from the persisted hparams and scored
 on concatenated RGB + optical-flow features from one shared decode pass
 (``--stream`` / ``--flow-backend`` override).
+
+AOT deployment (utils/aot.py): ``--export DIR`` freezes the scorer —
+weights baked in, lowered to serialized StableHLO per eval bucket for both
+TPU and CPU — and ``--from-export DIR`` serves those artifacts without the
+checkpoint, the model code path, or a Python-side trace:
+
+    python infer.py --checkpoint ckpts/ --outdir x --export scorer_aot/
+    python infer.py --from-export scorer_aot/ --videos v.mp4 --outdir scores
 """
 
 from __future__ import annotations
@@ -485,6 +493,18 @@ def main(argv=None) -> None:
                              "shuts down gracefully.")
     parser.add_argument("--serve-host", default="127.0.0.1",
                         help="--serve bind address (0.0.0.0 to expose)")
+    parser.add_argument("--export", default=None, metavar="DIR",
+                        help="AOT-export the scorer (weights baked in, "
+                             "serialized StableHLO per eval bucket, for "
+                             "both TPU and CPU) to DIR and exit; serve the "
+                             "artifacts with --from-export (utils/aot.py)")
+    parser.add_argument("--export-max-clips", type=int, default=1024,
+                        help="--export covers every eval bucket a video of "
+                             "up to this many clips can hit")
+    parser.add_argument("--from-export", default=None, metavar="DIR",
+                        help="score with an AOT artifact directory written "
+                             "by --export instead of a checkpoint (no "
+                             "model rebuild, no scorer recompile)")
     parser.add_argument("--warmup", type=int, default=0, metavar="CLIPS",
                         help="serving warmup: pre-compile the I3D forward "
                              "and every scorer eval bucket up to CLIPS "
@@ -494,8 +514,19 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.watch and args.serve is not None:
         parser.error("--watch and --serve are mutually exclusive")
-    if args.videos is None and args.serve is None:
-        parser.error("--videos is required (unless --serve)")
+    if args.export and args.from_export:
+        parser.error("--export and --from-export are mutually exclusive")
+    if args.export and (args.watch or args.serve is not None):
+        parser.error("--export writes the artifacts and exits; it cannot "
+                     "be combined with --watch/--serve")
+    if args.from_export and (args.checkpoint or args.torch_weights
+                             or args.model or args.model_config):
+        parser.error("--from-export replaces the checkpoint/model flags: "
+                     "the artifact directory is self-describing")
+    if args.export_max_clips < 1:
+        parser.error("--export-max-clips must be >= 1")
+    if args.videos is None and args.serve is None and not args.export:
+        parser.error("--videos is required (unless --serve or --export)")
     if args.batch < 1:
         parser.error(f"--batch must be >= 1 (got {args.batch})")
     if args.threshold is not None and not 0.0 <= args.threshold <= 1.0:
@@ -507,7 +538,7 @@ def main(argv=None) -> None:
         )
 
     videos = find_videos(args.videos) if args.videos else []
-    if not videos and not args.watch and args.serve is None:
+    if not videos and not args.watch and args.serve is None and not args.export:
         raise SystemExit(f"no videos match {args.videos!r}")
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -530,7 +561,26 @@ def main(argv=None) -> None:
         frame_level_scores,
     )
 
+    exported_scorer = None
+    if args.from_export:
+        from anomaly_detection_on_video_tpu.utils.aot import ExportedScorer
+
+        try:
+            exported_scorer = ExportedScorer(args.from_export)
+        except (OSError, ValueError) as exc:
+            raise SystemExit(f"--from-export: {exc}")
+        want_crops = 10 if args.crops == "ten" else 1
+        if exported_scorer.n_crops != want_crops:
+            raise SystemExit(
+                f"--from-export: this artifact was exported for "
+                f"{exported_scorer.n_crops} crops per clip but --crops "
+                f"{args.crops} extracts {want_crops}; re-export with the "
+                "matching --crops"
+            )
+
     stream = args.stream
+    if stream is None and exported_scorer is not None:
+        stream = exported_scorer.stream
     if stream is None and args.checkpoint:
         # self-describing checkpoints persist their training data config:
         # a data.stream=both run is scored two-stream without extra flags
@@ -570,17 +620,29 @@ def main(argv=None) -> None:
 
     # scorer first: its checkpoint/weights validation must fail fast,
     # before the (expensive, warning-emitting) I3D extractor is built
-    apply_fn, variables, eval_step, model_name, scorer_model = build_scorer(
-        args
-    )
+    if exported_scorer is not None:
+        model_name = exported_scorer.model_name
+        scorer_model = None
+        score_fn = exported_scorer.score
+    else:
+        apply_fn, variables, eval_step, model_name, scorer_model = (
+            build_scorer(args)
+        )
+
+        def score_fn(features):
+            return score_features(features, apply_fn, variables, eval_step)
 
     # fail fast on a stream/scorer width mismatch: this CLI's extractor
     # emits 2048-d features per stream (4096-d concatenated for 'both'),
     # and a mismatched scorer would otherwise die mid-run on the first
     # video with an opaque flax shape error
     extracted_dim = 4096 if stream == "both" else 2048
-    scorer_dim = getattr(
-        getattr(scorer_model, "config", None), "channels", extracted_dim
+    scorer_dim = (
+        exported_scorer.channels
+        if exported_scorer is not None
+        else getattr(
+            getattr(scorer_model, "config", None), "channels", extracted_dim
+        )
     )
     if scorer_dim != extracted_dim:
         hint = (
@@ -596,6 +658,41 @@ def main(argv=None) -> None:
             f"--stream {stream} extracts {extracted_dim}-d features but "
             f"the {model_name} scorer expects {scorer_dim}-d input; {hint}"
         )
+
+    if args.export:
+        import time as _time
+
+        from anomaly_detection_on_video_tpu.utils.aot import (
+            export_buckets,
+            export_scorer,
+            save_scorer_export,
+        )
+
+        t0 = _time.time()
+        n_crops = 10 if args.crops == "ten" else 1
+        buckets = export_buckets(args.export_max_clips)
+        blobs = export_scorer(
+            apply_fn,
+            variables,
+            channels=scorer_dim,
+            n_crops=n_crops,
+            buckets=buckets,
+        )
+        manifest_path = save_scorer_export(
+            args.export,
+            blobs,
+            model_name=model_name,
+            channels=scorer_dim,
+            n_crops=n_crops,
+            stream=stream,
+        )
+        total_kb = sum(len(b) for b in blobs.values()) // 1024
+        print(
+            f"exported {model_name} scorer for buckets {buckets} "
+            f"({n_crops} crops, {scorer_dim}-d, {total_kb} KB) in "
+            f"{_time.time() - t0:.1f}s -> {manifest_path}"
+        )
+        return
 
     # load once, after the scorer validation above has had its chance to
     # fail fast: --stream both builds two extractors from this one tree
@@ -644,15 +741,15 @@ def main(argv=None) -> None:
         while n <= args.warmup:
             buckets.add(eval_bucket(n))
             n *= 2
+        if exported_scorer is not None:
+            # AOT artifacts only exist for their exported buckets
+            buckets = {b for b in buckets if b <= exported_scorer.buckets[-1]}
         n_crops = 10 if args.crops == "ten" else 1
         # the scorer's true feature width, validated against the stream
         # mode above (two-stream checkpoints carry channels=4096)
         fdim = scorer_dim
         for bucket in sorted(buckets):
-            score_features(
-                np.zeros((bucket, n_crops, fdim), np.float32),
-                apply_fn, variables, eval_step,
-            )
+            score_fn(np.zeros((bucket, n_crops, fdim), np.float32))
         print(
             f"warmup done in {_time.time() - t0:.1f}s "
             f"(eval buckets {sorted(buckets)})",
@@ -707,7 +804,7 @@ def main(argv=None) -> None:
         stem = os.path.splitext(os.path.basename(path))[0]
         features = load_or_extract(path, stem)
 
-        clip_scores = score_features(features, apply_fn, variables, eval_step)
+        clip_scores = score_fn(features)
         frame_scores = frame_level_scores(clip_scores, args.frames_per_clip)
 
         out = {
@@ -765,7 +862,12 @@ def main(argv=None) -> None:
 
     if not args.watch:
         for path in videos:
-            process(path)
+            try:
+                process(path)
+            except ValueError as exc:
+                # e.g. a video longer than the largest exported AOT bucket,
+                # or an undecodable file — a user problem, not a traceback
+                raise SystemExit(f"{path}: {exc}")
         return
 
     # serving loop: score each video once its size is stable across two

@@ -221,6 +221,48 @@ def smoke_int8_flow():
     return f"cosine {cos:.6f} vs bf16"
 
 
+def smoke_aot_export():
+    """AOT scorer export (utils/aot.py): the serialized ("cpu","tpu")
+    StableHLO artifact must deserialize and execute on the REAL chip with
+    scores matching the live jit path (the serve-anywhere claim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.utils.aot import (
+        ExportedScorer,
+        export_scorer,
+        save_scorer_export,
+    )
+    import tempfile
+
+    rng = np.random.RandomState(7)
+    _, model = build_model("mgfn", dims=[16, 16, 32], depths=[1, 1, 1],
+                           dim_head=8)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 32, 2049), jnp.float32), train=True)
+    variables = dict(variables)
+    blobs = export_scorer(model.apply, variables, buckets=(32,))
+    with tempfile.TemporaryDirectory() as d:
+        save_scorer_export(d, blobs, model_name="mgfn")
+        loaded = ExportedScorer(d)
+        feats = rng.randn(5, 10, 2048).astype(np.float32)
+        aot = loaded.score(feats)
+        from anomaly_detection_on_video_tpu.data.features import add_magnitude
+
+        pad = np.zeros((1, 10, 32, 2049), np.float32)
+        pad[0, :, :5] = add_magnitude(feats).transpose(1, 0, 2)
+        direct = np.asarray(
+            jax.jit(
+                lambda v, f, l: model.apply(v, f, length=l).scores
+            )(variables, jnp.asarray(pad), jnp.asarray([5], np.int32))
+        )[0, :5, 0]
+    diff = float(np.abs(aot - direct).max())
+    assert diff < 1e-4, f"AOT vs live diff {diff}"
+    return f"bucket-32 artifact on {jax.devices()[0].platform}, diff {diff:.2e}"
+
+
 CHECKS = [
     ("extraction pipeline", smoke_extraction),
     ("fused Pallas kernels (opt-in)", smoke_fused_kernels),
@@ -229,6 +271,7 @@ CHECKS = [
     ("MGFN train step", smoke_train_step),
     ("int8 extraction (opt-in)", smoke_int8),
     ("int8 flow stream (opt-in)", smoke_int8_flow),
+    ("AOT scorer export", smoke_aot_export),
     ("extraction throughput", smoke_throughput),
 ]
 
