@@ -60,6 +60,16 @@ class WandbLogger:
         try:
             import wandb
         except ImportError:
+            # the user asked for W&B (wandb_key=... reaches here only when
+            # set) — a silent no-op would look like a lost run
+            import sys
+
+            print(
+                "warning: wandb_key is set but the wandb package is not "
+                "installed; W&B logging disabled (JSONL/console logging "
+                "unaffected)",
+                file=sys.stderr,
+            )
             self._run = None
             self._wandb = None
             return
