@@ -149,9 +149,13 @@ class ExportedScorer:
                     f"{bucket} artifact named by its manifest ({path})"
                 )
             with open(path, "rb") as f:
-                self._exported[int(bucket)] = jax_export.deserialize(
-                    f.read()
-                )
+                exported = jax_export.deserialize(f.read())
+            # jit the call wrapper once per bucket: repeated serving calls
+            # reuse one compiled executable instead of re-dispatching
+            # through Exported.call's per-invocation wrapper
+            import jax
+
+            self._exported[int(bucket)] = jax.jit(exported.call)
         if not self._exported:
             raise ValueError(
                 f"scorer export {directory!r} has no bucket artifacts"
@@ -185,7 +189,7 @@ class ExportedScorer:
             (1, n_crops, bucket, self.channels + 1), np.float32
         )
         feats[0, :, :n_clips] = add_magnitude(features).transpose(1, 0, 2)
-        scores = self._exported[bucket].call(
+        scores = self._exported[bucket](
             feats, np.asarray([n_clips], np.int32)
         )
         return np.asarray(scores)[0, :n_clips, 0]
