@@ -69,6 +69,50 @@ def make_synthetic_train(
     )
 
 
+def write_synthetic_dataset(
+    outdir: str,
+    seed: int = 0,
+    t: int = 32,
+    dim: int = 64,
+    strength: float = 1.3,
+    frames_per_clip: int = 16,
+):
+    """Write the structured bags as reference-layout ON-DISK artifacts.
+
+    Train segment bags ``(10, t, dim)`` and test clip features
+    ``(n_clips, 10, dim)`` as ``<name>_i3d.npy`` files plus a
+    ``ground_truth.json`` of frame-label lists — the same file contract
+    real extraction produces (extract_features.py / make_gt_ucf.py), so
+    the training CLI consumes them unchanged (scripts/demo.py).
+
+    Returns ``(train_dir, test_dir, gt_path)``.
+    """
+    import json
+    import os
+
+    normal, abnormal = make_synthetic_train(
+        seed, t=t, dim=dim, strength=strength
+    )
+    eval_ds = make_synthetic_eval(
+        seed, dim=dim, strength=strength, frames_per_clip=frames_per_clip
+    )
+    train_dir = os.path.join(outdir, "segments")
+    test_dir = os.path.join(outdir, "test")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(test_dir, exist_ok=True)
+    for ds in (normal, abnormal):
+        for name, bag in ds._arrays.items():
+            np.save(os.path.join(train_dir, name), bag)
+    gt = {}
+    for name in eval_ds.filenames:
+        np.save(os.path.join(test_dir, name), eval_ds._arrays[name])
+        gt[name[: -len("_i3d.npy")]] = eval_ds.labels[name]
+    gt_path = os.path.join(outdir, "ground_truth.json")
+    with open(gt_path, "w") as f:
+        json.dump(gt, f)
+    return train_dir, test_dir, gt_path
+
+
 def make_synthetic_eval(
     seed: int,
     n_videos: int = 16,

@@ -644,7 +644,9 @@ def main(argv=None) -> None:
             getattr(scorer_model, "config", None), "channels", extracted_dim
         )
     )
-    if scorer_dim != extracted_dim:
+    # --export never extracts: any feature width is exportable (the width
+    # is recorded in the manifest and re-validated at --from-export time)
+    if scorer_dim != extracted_dim and not args.export:
         hint = (
             "retrain with data.stream=both or pass --model-config "
             "channels=4096"

@@ -212,6 +212,25 @@ def test_full_pipeline(tmp_path):
     assert "Traceback" not in result.stderr
 
 
+@pytest.mark.slow
+def test_demo_script_mechanics(tmp_path):
+    """scripts/demo.py --skip-extract: synthetic-bag training + AOT export
+    run end to end through the real CLIs (the air-gapped quickstart;
+    extraction is exercised by test_full_pipeline)."""
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "demo.py"),
+         "--workdir", str(tmp_path / "demo"),
+         "--skip-extract", "--epochs", "2"],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=1200,
+    )
+    assert result.returncode == 0, (
+        f"STDOUT:{result.stdout}\nSTDERR:{result.stderr}"
+    )
+    assert "demo complete" in result.stdout
+    assert (tmp_path / "demo" / "scorer_aot" / "manifest.json").exists()
+    assert any((tmp_path / "demo" / "checkpoints").iterdir())
+
+
 def test_make_gt_cli_offline_hub_is_clean_error(tmp_path):
     """HF mode (no --annotations/--features) on a host with no network must
     print argparse's one-line error, not a LocalEntryNotFoundError traceback
