@@ -133,7 +133,12 @@ class ExportedScorer:
                 "create one with infer.py --export)"
             )
         with open(manifest_path) as f:
-            self.manifest = json.load(f)
+            try:
+                self.manifest = json.load(f)
+            except json.JSONDecodeError as exc:
+                raise ValueError(
+                    f"corrupt manifest {manifest_path!r}: {exc}"
+                ) from exc
         self.model_name = self.manifest.get("model_name", "unknown")
         self.channels = int(self.manifest.get("channels", 2048))
         self.n_crops = int(self.manifest.get("n_crops", 10))

@@ -525,6 +525,9 @@ def main(argv=None) -> None:
                      "the artifact directory is self-describing")
     if args.export_max_clips < 1:
         parser.error("--export-max-clips must be >= 1")
+    if args.serve is not None and not 0 <= args.serve <= 65535:
+        # 0 = OS-assigned ephemeral port (the bound port is printed)
+        parser.error(f"--serve port must be in [0, 65535] (got {args.serve})")
     if args.videos is None and args.serve is None and not args.export:
         parser.error("--videos is required (unless --serve or --export)")
     if args.batch < 1:

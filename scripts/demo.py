@@ -77,6 +77,8 @@ def main(argv=None) -> None:
                         help="skip step 1 (the I3D forward is the slow "
                              "part on CPU)")
     args = parser.parse_args(argv)
+    if args.epochs < 1:
+        parser.error(f"--epochs must be >= 1 (got {args.epochs})")
 
     work = os.path.abspath(args.workdir)
     os.makedirs(work, exist_ok=True)
