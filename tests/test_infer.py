@@ -117,9 +117,26 @@ def test_infer_cli_flag_validation():
          "--threshold", "7"],
         ["--videos", "v", "--outdir", "o", "--checkpoint", "c",
          "--batch", "0"],
+        ["--checkpoint", "c", "--outdir", "o", "--serve", "99999"],
+        ["--checkpoint", "c", "--outdir", "o", "--export", "e",
+         "--export-max-clips", "0"],
+        ["--checkpoint", "c", "--outdir", "o", "--videos", "v",
+         "--serve", "8080", "--watch"],
     ):
         with pytest.raises(SystemExit):
             infer.main(argv)
+
+
+def test_exported_scorer_corrupt_manifest(tmp_path):
+    """A corrupt manifest raises a ValueError naming the file (so infer.py's
+    --from-export handler turns it into a one-line error)."""
+    import pytest
+
+    from anomaly_detection_on_video_tpu.utils.aot import ExportedScorer
+
+    (tmp_path / "manifest.json").write_text("not json{")
+    with pytest.raises(ValueError, match="corrupt manifest.*manifest.json"):
+        ExportedScorer(str(tmp_path))
 
 
 def test_infer_main_stream_width_mismatch_fails_fast(tmp_path):
