@@ -189,15 +189,58 @@ class TopKCheckpointer:
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        restored = self.manager.restore(
-            step, args=ocp.args.StandardRestore(template)
-        )
+        try:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except Exception as exc:
+            restored = self._restore_legacy_opt_state(step, template, exc)
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def _restore_legacy_opt_state(
+        self, step: int, template: Dict[str, Any], exc: Exception
+    ) -> Dict[str, Any]:
+        """Retry a failed restore against the pre-grad-clip optimizer layout.
+
+        ``adam_with_l2`` used to build a 2-slot optax chain
+        (add_decayed_weights, adam); it now always has 3 slots with an
+        identity in front (knob-invariant layout). A checkpoint saved by
+        the old code restores by dropping the template's fresh slot 0
+        (identity/clip state — stateless either way). Anything else gets a
+        clear error instead of orbax's raw tree-mismatch."""
+        opt = template["opt_state"]
+        if isinstance(opt, tuple) and len(opt) == 3:
+            legacy = dict(template, opt_state=tuple(opt[1:]))
+            try:
+                restored = self.manager.restore(
+                    step, args=ocp.args.StandardRestore(legacy)
+                )
+            except Exception:
+                pass
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint step {step} carries a legacy 2-slot "
+                    "optimizer state (pre-gradient-clip layout); migrated "
+                    "by prepending the fresh identity slot"
+                )
+                restored["opt_state"] = (opt[0],) + tuple(
+                    restored["opt_state"]
+                )
+                return restored
+        raise ValueError(
+            f"could not restore checkpoint step {step} from "
+            f"{self.directory}: the saved tree does not match the restore "
+            "template — typically the model config or optimizer settings "
+            "differ from the run that wrote the checkpoint (see "
+            f"{METADATA_FILE} in the checkpoint directory)"
+        ) from exc
 
     def restore_latest(self, state: Any) -> Any:
         """Restore the most recent checkpoint (restore(step="latest"))."""

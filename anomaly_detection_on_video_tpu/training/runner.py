@@ -241,6 +241,16 @@ def make_eval_step(mesh: Optional[jax.sharding.Mesh] = None):
     from jax.experimental import multihost_utils
 
     def step(variables, apply_fn, feature, length):
+        def host_leaf(x):
+            # global arrays (e.g. DP/TP-sharded params coming out of the
+            # multihost train step) pass through with their sharding intact
+            # — np.asarray on a non-fully-addressable array would raise;
+            # host-local leaves (restore/init before the first step)
+            # replicate via pjit
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x
+            return np.asarray(x)
+
         def globalize(x, sharding):
             x = np.asarray(x)
             return jax.make_array_from_callback(
@@ -251,7 +261,7 @@ def make_eval_step(mesh: Optional[jax.sharding.Mesh] = None):
         # host-local shardings; hand pjit host buffers so it replicates them
         # onto the global mesh itself
         out = jitted(
-            jax.tree_util.tree_map(np.asarray, variables),
+            jax.tree_util.tree_map(host_leaf, variables),
             apply_fn,
             globalize(feature, batch),
             globalize(length, batch),

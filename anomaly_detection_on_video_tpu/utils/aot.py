@@ -34,9 +34,9 @@ def export_buckets(max_clips: int, minimum: int = 32) -> list:
     """Every eval bucket a video of <= max_clips clips can hit."""
     from anomaly_detection_on_video_tpu.training.runner import eval_bucket
 
-    buckets, n = {eval_bucket(max_clips)}, 1
+    buckets, n = {eval_bucket(max_clips, minimum)}, 1
     while n <= max_clips:
-        buckets.add(eval_bucket(n))
+        buckets.add(eval_bucket(n, minimum))
         n *= 2
     return sorted(buckets)
 

@@ -479,7 +479,9 @@ def export_mgfn_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray
 # the torch oracle in tests/torch_oracles.py::OracleRTFM emits exactly this
 # layout. Checkpoints whose branches carry an eval-mode BatchNorm directly
 # after the conv (Sequential index 1, as the official non_local.W does)
-# fold exactly into the BN-free flax modules.
+# fold exactly into the BN-free flax modules — except conv_4, whose flax
+# counterpart ('proj') is bias-free like the official conv_4: a BN there
+# raises instead of silently dropping the folded shift.
 # ---------------------------------------------------------------------------
 
 
@@ -517,9 +519,24 @@ def convert_rtfm_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     (models/rtfm/model.py tree). See the contract note above."""
     params: Dict[str, Any] = {}
 
-    def put_conv(path: Tuple[str, ...], prefix: str) -> None:
+    def put_conv(
+        path: Tuple[str, ...], prefix: str, bias_ok: bool = True
+    ) -> None:
         w, b = _conv1d_fold_bn(state_dict, prefix)
         _set(params, path + ("kernel",), _conv1d(w))
+        if b is not None and not bias_ok:
+            # the target module is bias-free (models/rtfm/model.py 'proj',
+            # matching the official conv_4's bias=False): a folded BN shift
+            # has nowhere to live and cannot be absorbed downstream (it
+            # feeds attention), so dropping it would silently corrupt scores
+            if np.any(b != 0):
+                raise ValueError(
+                    f"{prefix}: folding produced a nonzero bias but the "
+                    "target flax module is bias-free; this BN-after-conv_4 "
+                    "layout is not representable — official checkpoints "
+                    "keep conv_4 bias-free with no BN"
+                )
+            b = None
         if b is not None:
             _set(params, path + ("bias",), b)
 
@@ -528,7 +545,7 @@ def convert_rtfm_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
         ("conv_1", "dilated1"), ("conv_2", "dilated2"), ("conv_3", "dilated4")
     ):
         put_conv(("aggregate", ours), f"{agg}.{official}")
-    put_conv(("aggregate", "proj"), f"{agg}.conv_4")
+    put_conv(("aggregate", "proj"), f"{agg}.conv_4", bias_ok=False)
     put_conv(("aggregate", "fuse"), f"{agg}.conv_5")
 
     for name in ("theta", "phi", "g"):

@@ -159,7 +159,19 @@ def build_scorer(args):
                 if args.official
                 else convert_mgfn_state_dict
             )
-        variables = convert(state_dict)
+        try:
+            variables = convert(state_dict)
+        except (KeyError, ValueError) as exc:
+            # e.g. RTFM weights routed through the MGFN converter because
+            # --model was omitted: name the mismatch instead of a raw
+            # KeyError traceback
+            raise SystemExit(
+                f"--torch-weights {args.torch_weights!r} does not look "
+                f"like a {model_name!r} state dict "
+                f"({type(exc).__name__}: {exc}); pass --model "
+                "{mgfn,rtfm,sultani} matching the weights, or --official "
+                "for the official MGFN release layout"
+            )
     elif args.checkpoint:
         from anomaly_detection_on_video_tpu.training import TrainState
         from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
@@ -742,10 +754,9 @@ def main(argv=None) -> None:
                 127, np.uint8,
             ))
         # every scorer eval bucket a video of <= --warmup clips can hit
-        buckets, n = {eval_bucket(args.warmup)}, 1
-        while n <= args.warmup:
-            buckets.add(eval_bucket(n))
-            n *= 2
+        from anomaly_detection_on_video_tpu.utils.aot import export_buckets
+
+        buckets = set(export_buckets(args.warmup))
         if exported_scorer is not None:
             # AOT artifacts only exist for their exported buckets
             buckets = {b for b in buckets if b <= exported_scorer.buckets[-1]}

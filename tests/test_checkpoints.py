@@ -267,3 +267,63 @@ def test_checkpoint_step_selection(tmp_path):
     bare.save(step=7, state=state.replace(step=7), metric=None)
     bare.wait()
     assert bare.resolve_step("best") == 7
+
+
+def test_restore_migrates_legacy_two_slot_opt_state(tmp_path):
+    """Checkpoints written before the gradient-clip knob carried a 2-slot
+    optax chain (add_decayed_weights, adam); the 3-slot template must
+    restore them by prepending its fresh identity slot — and a genuine
+    tree mismatch must raise the clear template error, not orbax's raw
+    mismatch."""
+    import optax
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    _, model = build_model(
+        "mgfn", dims=(16, 16, 32), depths=(1, 1, 1), dim_head=8, channels=24
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 8, 25)),
+        train=True,
+    )
+    legacy_tx = optax.chain(
+        optax.add_decayed_weights(5e-4), optax.adam(1e-3)
+    )
+    legacy = TrainState.create(model, variables, legacy_tx)
+    # non-trivial moments so restore-from-disk is distinguishable from the
+    # fresh zero template
+    legacy = legacy.replace(
+        opt_state=jax.tree_util.tree_map(
+            lambda x: x + jnp.ones_like(x), legacy.opt_state
+        )
+    )
+    ckpt = TopKCheckpointer(str(tmp_path), top_k=2)
+    ckpt.save(step=3, state=legacy.replace(step=jnp.asarray(3)), metric=0.5)
+    ckpt.wait()
+
+    template = TrainState.create(model, variables, adam_with_l2())
+    with pytest.warns(UserWarning, match="legacy 2-slot"):
+        restored = TopKCheckpointer(str(tmp_path)).restore_latest(template)
+    assert int(restored.step) == 3
+    assert len(restored.opt_state) == 3
+    # the adam moments actually came from disk, not the fresh template
+    legacy_mu = jax.tree_util.tree_leaves(legacy.opt_state[1])
+    restored_mu = jax.tree_util.tree_leaves(restored.opt_state[2])
+    for a, b in zip(legacy_mu, restored_mu):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # genuine mismatch (different model config): the wrapped clear error
+    _, other = build_model(
+        "mgfn", dims=(8, 8, 16), depths=(1, 1, 1), dim_head=4, channels=24
+    )
+    other_vars = other.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 8, 25)),
+        train=True,
+    )
+    bad = TrainState.create(other, other_vars, adam_with_l2())
+    with pytest.raises(ValueError, match="does not match the restore"):
+        TopKCheckpointer(str(tmp_path)).restore_latest(bad)

@@ -219,3 +219,25 @@ def test_infer_main_two_stream_from_checkpoint_hparams(tmp_path):
     )
     out2 = json.loads((outdir / "Abuse_demo_scores.json").read_text())
     assert out2["clip_scores"] == out["clip_scores"]
+
+
+def test_torch_weights_wrong_model_clean_error(tmp_path):
+    """--torch-weights with a state dict that doesn't match the selected
+    model (e.g. RTFM weights with --model omitted, which defaults to mgfn)
+    must die with a named SystemExit, not a raw KeyError traceback."""
+    import pytest
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from torch_oracles import OracleRTFM
+
+    import infer
+
+    weights = tmp_path / "rtfm.pt"
+    torch.save(OracleRTFM(channels=24, hidden=(16, 8)).state_dict(), weights)
+    write_video(tmp_path / "Abuse_demo.avi", n_frames=20)
+    with pytest.raises(SystemExit, match="does not look like a 'mgfn'"):
+        infer.main([
+            "--videos", str(tmp_path), "--outdir", str(tmp_path / "out"),
+            "--torch-weights", str(weights),
+        ])

@@ -104,6 +104,37 @@ multi = evaluate(
 assert abs(single.rec_auc - multi.rec_auc) < 1e-9, (single.rec_auc, multi.rec_auc)
 assert abs(single.pr_auc - multi.pr_auc) < 1e-9
 np.testing.assert_allclose(single.preds, multi.preds, atol=1e-6)
+
+# tensor-parallel case: variables are GLOBAL arrays sharded over the model
+# axis (as they come out of the multihost DP x TP train step) — the eval
+# wrapper must pass them through with sharding intact (np.asarray on a
+# non-fully-addressable array raises)
+import types
+from anomaly_detection_on_video_tpu.parallel.sharding import (
+    tensor_parallel_specs,
+)
+
+mesh_tp = make_mesh((2, 2), ("data", "model"))
+specs = tensor_parallel_specs(state.variables, mesh_tp)
+tp_vars = jax.tree_util.tree_map(
+    lambda x, s: jax.make_array_from_callback(
+        np.asarray(x).shape, s, lambda idx, h=np.asarray(x): h[idx]
+    ),
+    state.variables, specs,
+)
+assert any(
+    not l.is_fully_addressable
+    for l in jax.tree_util.tree_leaves(tp_vars)
+)
+tp_state = types.SimpleNamespace(variables=tp_vars, apply_fn=state.apply_fn)
+multi_tp = evaluate(
+    tp_state, dataset, eval_step=make_eval_step(mesh_tp),
+    batch_videos=4, pad_groups=True,
+)
+assert abs(single.rec_auc - multi_tp.rec_auc) < 1e-6, (
+    single.rec_auc, multi_tp.rec_auc,
+)
+np.testing.assert_allclose(single.preds, multi_tp.preds, atol=1e-5)
 print("EVAL_AUC", single.rec_auc, multi.rec_auc, flush=True)
 """
 

@@ -196,3 +196,39 @@ def test_rtfm_export_round_trip():
     assert set(back) == set(sd)
     for key, val in sd.items():
         np.testing.assert_array_equal(back[key], val.numpy())
+
+
+def test_rtfm_converter_rejects_bn_after_bias_free_conv4():
+    """conv_4's flax counterpart ('proj') is bias-free (matching the
+    official conv_4's bias=False): a BN folded there would produce a bias
+    with nowhere to live, so the converter must raise rather than silently
+    drop the shift (wrong scores)."""
+    import pytest
+    import torch
+    import torch.nn as nn
+
+    from torch_oracles import OracleRTFM
+
+    from anomaly_detection_on_video_tpu.utils.convert import (
+        convert_rtfm_state_dict,
+    )
+
+    torch.manual_seed(6)
+    oracle = OracleRTFM(channels=24, hidden=(16, 8))
+    conv = oracle.Aggregate.conv_4[0]
+    bn = nn.BatchNorm1d(conv.out_channels)
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.randn(conv.out_channels) * 0.1)
+        bn.bias.copy_(torch.randn(conv.out_channels) * 0.1)
+    oracle.Aggregate.conv_4 = nn.Sequential(conv, bn)
+    oracle.eval()
+
+    with pytest.raises(ValueError, match="conv_4.*bias-free"):
+        convert_rtfm_state_dict(oracle.state_dict())
+
+    # an identity-shift BN (folded bias exactly zero) still converts
+    with torch.no_grad():
+        bn.running_mean.zero_()
+        bn.bias.zero_()
+    variables = convert_rtfm_state_dict(oracle.state_dict())
+    assert "bias" not in variables["params"]["aggregate"]["proj"]
