@@ -136,17 +136,38 @@ void decode_loop(Stream* s) {
     s->cv_produced.notify_one();
   };
 
+  auto fail = [&](const std::string& msg) {
+    std::lock_guard<std::mutex> lock(s->mu);
+    if (s->error.empty()) s->error = msg;
+    s->stop.store(true);
+  };
+
+  int sws_src_format = AV_PIX_FMT_NONE;
   auto handle_frame = [&]() {
-    if (!sws) {
-      sws = sws_getContext(dec->width, dec->height, dec->pix_fmt, s->width,
-                           s->height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
-                           nullptr, nullptr);
+    // every chunk buffer (and the caller's) is sized for the probed
+    // geometry: a mid-stream resolution change would overrun it, so it is
+    // a hard decode error rather than a silent corruption
+    if (frame->width != s->width || frame->height != s->height) {
+      fail("mid-stream resolution change in " + s->path);
+      return;
+    }
+    if (!sws || frame->format != sws_src_format) {
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(frame->width, frame->height,
+                           static_cast<AVPixelFormat>(frame->format),
+                           s->width, s->height, AV_PIX_FMT_RGB24,
+                           SWS_BILINEAR, nullptr, nullptr, nullptr);
+      if (!sws) {
+        fail("unsupported pixel format in " + s->path);
+        return;
+      }
+      sws_src_format = frame->format;
     }
     uint8_t* dst = current.data.data() + frame_bytes * current.n_frames;
     uint8_t* dst_planes[4] = {dst, nullptr, nullptr, nullptr};
     int dst_stride[4] = {s->width * 3, 0, 0, 0};
-    sws_scale(sws, frame->data, frame->linesize, 0, dec->height, dst_planes,
-              dst_stride);
+    sws_scale(sws, frame->data, frame->linesize, 0, frame->height,
+              dst_planes, dst_stride);
     current.n_frames++;
     if (current.n_frames == s->chunk_frames) flush_chunk();
   };
@@ -227,17 +248,25 @@ int64_t fp_stream_approx_frames(void* handle) {
 // of stream, -1 on decode error.
 int fp_stream_next(void* handle, uint8_t* out) {
   auto* s = static_cast<Stream*>(handle);
-  std::unique_lock<std::mutex> lock(s->mu);
-  s->cv_produced.wait(lock, [&] { return !s->ready.empty() || s->done; });
-  if (!s->error.empty()) return -1;
-  if (s->ready.empty()) return 0;  // done
-  Chunk chunk = std::move(s->ready.front());
-  s->ready.pop_front();
+  Chunk chunk;
+  {
+    std::unique_lock<std::mutex> lock(s->mu);
+    s->cv_produced.wait(lock, [&] { return !s->ready.empty() || s->done; });
+    if (!s->error.empty()) return -1;
+    if (s->ready.empty()) return 0;  // done
+    chunk = std::move(s->ready.front());
+    s->ready.pop_front();
+    // the ring slot is free as soon as the pop happens: wake the decoder
+    // before the (multi-MB) copy below so it overlaps with the consumer
+    s->cv_consumed.notify_one();
+  }
   const size_t frame_bytes = size_t(s->width) * s->height * 3;
   std::memcpy(out, chunk.data.data(), frame_bytes * chunk.n_frames);
   int n = chunk.n_frames;
-  s->free_list.push_back(std::move(chunk));
-  s->cv_consumed.notify_one();
+  {
+    std::lock_guard<std::mutex> lock(s->mu);
+    s->free_list.push_back(std::move(chunk));
+  }
   return n;
 }
 
