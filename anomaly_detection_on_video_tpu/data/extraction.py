@@ -429,7 +429,13 @@ class FeatureExtractor:
         Farneback flow on the host (frame 0 of each chunk gets zero flow —
         a chunk-boundary artifact shared with any chunked flow pipeline).
         """
+        import contextlib
+
         transform = self._host_transform()
+        stage = (
+            timer.stage if timer is not None
+            else lambda name: contextlib.nullcontext()
+        )
         outputs = []
         pending = None  # (output_index, dispatch handle, cache path or None)
 
@@ -438,10 +444,7 @@ class FeatureExtractor:
             if entry is None:
                 return
             idx, dispatched, chunk_path = entry
-            if timer is not None:
-                with timer.stage("device_extract"):
-                    feats = self.materialize_features(dispatched)
-            else:
+            with stage("device_extract"):
                 feats = self.materialize_features(dispatched)
             if chunk_path is not None:
                 atomic_save(chunk_path, feats)
@@ -450,19 +453,10 @@ class FeatureExtractor:
         source = VideoFrameSource(video_path, chunk_frames)
         iterator = iter(source)
         while True:
-            if timer is not None:
-                with timer.stage("decode_wait"):
-                    chunk = next(iterator, None)
-            else:
+            with stage("decode_wait"):
                 chunk = next(iterator, None)
             if chunk is None:
                 break
-            if transform is not None:
-                if timer is not None:
-                    with timer.stage("host_transform"):
-                        chunk = transform(chunk)
-                else:
-                    chunk = transform(chunk)
             i = len(outputs)
             chunk_path = None
             if cache_dir is not None:
@@ -472,6 +466,13 @@ class FeatureExtractor:
                     pending = None
                     outputs.append(np.load(chunk_path))
                     continue
+            # the (expensive) flow host-transform runs only on a cache
+            # miss, AFTER the skip above — a resumed flow extraction must
+            # not repay minutes of optical flow per already-cached chunk
+            # (same order as _cached_chunk in the pooled path)
+            if transform is not None:
+                with stage("host_transform"):
+                    chunk = transform(chunk)
             # 1-deep pipeline: dispatch chunk N (async h2d + forward), THEN
             # block on chunk N-1 — so N's transfer/compute overlaps N-1's
             # readback, and the next loop iteration's decode overlaps N's

@@ -716,12 +716,22 @@ class VideoAnomalyDetectionRunner:
         # continue step numbering after a resume so new checkpoints don't
         # collide with (or overwrite) the restored ones
         step = int(self.state.step) if self.state is not None else 0
+        # ... and continue the EPOCH count too: a run resumed at epoch 999
+        # of 1000 must train the one remaining epoch, not max_epochs more.
+        # Derived from the restored step (epochs are not persisted): the
+        # epoch length is min(normal, abnormal) // batch_size (the
+        # reference's drop_last dual-loader, data/features.train_batches) —
+        # exact as long as batch_size matches the run that saved. This also
+        # resumes the shuffle-order progression (train_batches seeds by
+        # (seed, epoch)).
+        steps_per_epoch = min(len(normal), len(abnormal)) // batch_size
+        start_epoch = step // steps_per_epoch if steps_per_epoch else 0
         # per-step metric cadence (reference trainer knob
         # log_every_n_steps; null/None = every step) and the optimizer-step
         # budget (reference trainer knob max_steps; -1 = unlimited)
         log_every = max(1, int(log_every_n_steps or 1))
         hit_max = max_steps >= 0 and step >= max_steps
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             if hit_max:
                 break
             epoch_losses = []
@@ -846,6 +856,27 @@ class VideoAnomalyDetectionRunner:
             if hit_max:
                 print(f"max_steps {max_steps} reached at step {step}, stopping")
                 break
+        if (
+            last_eval is None
+            and valid_dataset is not None
+            and self.state is not None
+        ):
+            # a resumed run whose epoch budget is already spent (start_epoch
+            # >= max_epochs) trains nothing — still report where the
+            # restored model stands instead of exiting silently
+            last_eval = evaluate(
+                self.state, valid_dataset, frames_per_clip, self._eval_step,
+                batch_videos=batch_videos or self.eval_batch_videos,
+                pad_groups=True,
+            )
+            self._log(
+                {
+                    "valid/rec_auc": last_eval.rec_auc,
+                    "valid/pr_auc": last_eval.pr_auc,
+                    "valid/far": last_eval.false_alarm_rate(),
+                },
+                step,
+            )
         if self.checkpointer is not None:
             # orbax saves are async; an unawaited save at interpreter exit
             # dies with "cannot schedule new futures" and leaves tmp dirs

@@ -347,6 +347,9 @@ def serve_http(args, process) -> None:
             name = os.path.basename(
                 parse_qs(url.query).get("name", ["upload.mp4"])[0]
             )
+            if name in ("", ".", ".."):  # basename of 'x/..' is '..': the
+                self._drain_body()       # spool open would hit a directory
+                return self._json(400, {"error": f"invalid name {name!r}"})
             stem = os.path.splitext(name)[0]
             score_path = os.path.join(args.outdir, f"{stem}_scores.json")
             if os.path.exists(score_path):  # idempotent per stem
@@ -364,18 +367,27 @@ def serve_http(args, process) -> None:
             os.makedirs(spool, exist_ok=True)
             req_dir = tempfile.mkdtemp(dir=spool)
             video_path = os.path.join(req_dir, name)
-            remaining = length
-            with open(video_path, "wb") as f:  # bounded memory per upload
-                while remaining > 0:
-                    chunk = self.rfile.read(min(1 << 20, remaining))
-                    if not chunk:
-                        break
-                    f.write(chunk)
-                    remaining -= len(chunk)
             try:
+                remaining = length
+                # inside the try: a failed write (disk full, client reset)
+                # must still produce a JSON error and clean up the spool
+                with open(video_path, "wb") as f:  # bounded memory/upload
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                        remaining -= len(chunk)
                 with score_lock:
-                    res = process(video_path)
-                    record_scored(stats, res)
+                    if os.path.exists(score_path):
+                        # a concurrent same-stem upload won the race while
+                        # this one was spooling: serve its scores instead
+                        # of paying extraction twice
+                        with open(score_path) as f:
+                            res = json.load(f)
+                    else:
+                        res = process(video_path)
+                        record_scored(stats, res)
                 return self._json(200, res)
             except Exception as exc:  # one bad upload must not kill serving
                 stats["errors"] += 1
@@ -721,6 +733,20 @@ def main(argv=None) -> None:
 
     extractor = make_extractor("rgb" if stream != "flow" else "flow")
     flow_extractor = make_extractor("flow") if stream == "both" else None
+    if args.features_dir and stream in ("flow", "both"):
+        # pin the flow definition of the cache directory exactly as
+        # extract_features.py does (data/extraction.record_flow_backend):
+        # the backends differ numerically, so a cache reused with another
+        # backend would silently mix flow definitions across videos
+        from anomaly_detection_on_video_tpu.data.extraction import (
+            record_flow_backend,
+        )
+
+        fe = flow_extractor if stream == "both" else extractor
+        try:
+            record_flow_backend(args.features_dir, fe.flow_backend)
+        except ValueError as exc:
+            raise SystemExit(str(exc))
     if args.dtype == "int8":
         # pin calibration scales so watcher restarts / later runs quantize
         # identically to any features already cached (data/extraction.py
@@ -890,20 +916,39 @@ def main(argv=None) -> None:
     # polls (the producer finished writing); skip anything already scored
     import time
 
-    def scored(path, size):
+    # transient failures (the TPU tunnel's hour-long outages, OOM, races)
+    # retry on a cooldown; permanent ones (undecodable file, over the AOT
+    # bucket ceiling — ValueError from process) only retry if the producer
+    # rewrites the file (size change)
+    error_retry_s = max(30.0, 2.0 * args.poll_interval)
+
+    def video_status(path, size):
+        """``"done"`` (scored, or permanently failed at this size),
+        ``"cooldown"`` (transient failure waiting out error_retry_s — still
+        pending work for the idle-exit clock), or ``"ready"``."""
         stem = os.path.splitext(os.path.basename(path))[0]
         if os.path.exists(os.path.join(args.outdir, f"{stem}_scores.json")):
-            return True
-        # a failed video is skipped only while its size is unchanged: if
-        # the producer re-writes/completes the file, it is retried
+            return "done"
+        # a permanently-failed video is skipped only while its size is
+        # unchanged: if the producer re-writes/completes the file, it is
+        # retried; transient failures retry after error_retry_s regardless
         err_path = os.path.join(args.outdir, f"{stem}_scores.error.json")
         if os.path.exists(err_path):
             try:
                 with open(err_path) as f:
-                    return json.load(f).get("size") == size
+                    err = json.load(f)
             except (OSError, ValueError):
-                return False
-        return False
+                return "ready"
+            if err.get("size") != size:
+                return "ready"
+            if not err.get("retryable", False):
+                return "done"
+            try:
+                age = time.time() - os.path.getmtime(err_path)
+            except OSError:
+                return "ready"
+            return "cooldown" if age < error_retry_s else "ready"
+        return "ready"
 
     # serving heartbeat: counters written atomically to
     # <outdir>/_serving_stats.json every poll, so an operator (or a probe)
@@ -936,8 +981,19 @@ def main(argv=None) -> None:
             except OSError:
                 continue  # vanished between listing and stat
         for path, size in sorted(sizes.items()):
-            if scored(path, size) or last_sizes.get(path) != size:
-                continue  # done already, new this poll, or still growing
+            status = video_status(path, size)
+            if status == "done":
+                continue
+            if status == "cooldown":
+                # a transient failure waiting to retry is pending work:
+                # don't let --idle-exit drain out from under it
+                last_new = time.time()
+                continue
+            if last_sizes.get(path) != size:
+                # new this poll or still growing: unfinished work, so the
+                # idle-exit clock must not run out mid-copy
+                last_new = time.time()
+                continue
             try:
                 record_scored(stats, process(path))
             except Exception as exc:  # one bad file must not kill serving
@@ -946,7 +1002,7 @@ def main(argv=None) -> None:
                 stem = os.path.splitext(os.path.basename(path))[0]
                 # never touch <stem>_scores.json (a late failure, e.g. in
                 # the figure writer, must not destroy valid scores); the
-                # recorded size gates the retry in scored()
+                # recorded size + retryable flag gate the retry in scored()
                 if not os.path.exists(
                     os.path.join(args.outdir, f"{stem}_scores.json")
                 ):
@@ -959,6 +1015,16 @@ def main(argv=None) -> None:
                                 "video": os.path.basename(path),
                                 "error": str(exc),
                                 "size": size,
+                                # ValueError (undecodable / over the AOT
+                                # bucket ceiling, the one-shot path's
+                                # SystemExit rule) and FileNotFoundError
+                                # (unopenable bytes) are file problems —
+                                # retried only if the file is rewritten;
+                                # everything else (device outage, OOM) is
+                                # assumed transient
+                                "retryable": not isinstance(
+                                    exc, (ValueError, FileNotFoundError)
+                                ),
                             },
                             f,
                         )

@@ -399,11 +399,15 @@ def main(argv=None) -> None:
             )
         channels = getattr(model_config, "channels", 2048)
         runner.init_state(np.zeros((2, 10, 32, channels + 1), np.float32))
-        runner.restore(
-            checkpointer.restore(
+        try:
+            restored = checkpointer.restore(
                 runner.state, step=trainer_cfg.get("checkpoint_step", "latest")
             )
-        )
+        except ValueError as exc:
+            # a garbage-collected step or a typo'd selector: a CLI error
+            # naming the knob, not a traceback (same rule as infer.py)
+            raise SystemExit(f"trainer.checkpoint_step: {exc}")
+        runner.restore(restored)
         if int(runner.state.step) == 0:
             raise SystemExit(
                 "eval_only: no checkpoint found under "
@@ -448,11 +452,13 @@ def main(argv=None) -> None:
             )
         )
         runner.init_state(example["feature"])
-        runner.restore(
-            checkpointer.restore(
+        try:
+            restored = checkpointer.restore(
                 runner.state, step=trainer_cfg.get("checkpoint_step", "latest")
             )
-        )
+        except ValueError as exc:
+            raise SystemExit(f"trainer.checkpoint_step: {exc}")
+        runner.restore(restored)
         print(f"resumed from step {int(runner.state.step)}")
 
     result = runner.fit(

@@ -687,3 +687,46 @@ def test_pin_calibration_writes_sidecar_when_precalibrated(rng, tmp_path):
     sidecar = second / "act_scales_rgb.json"
     assert sidecar.exists()
     assert json.loads(sidecar.read_text()) == ex._act_scales
+
+
+def test_cached_chunks_skip_flow_transform(rng, tmp_path):
+    """A resumed flow extraction must NOT re-run the (expensive) optical
+    flow host-transform for chunks whose features are already cached: the
+    cache check comes before the transform (same order as the pooled
+    path's _cached_chunk)."""
+    import cv2
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "f.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for _ in range(2 * 32):  # 2 chunks of 2 clips at chunk_frames=32
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+
+    ex = FeatureExtractor(
+        dtype=jnp.float32, batch=10, stream="flow", flow_backend="host"
+    )
+    calls = []
+    orig = ex._host_transform
+
+    def counting_host_transform():
+        inner = orig()
+
+        def transform(chunk):
+            calls.append(len(chunk))
+            return inner(chunk)
+
+        return transform
+
+    ex._host_transform = counting_host_transform
+
+    cache = str(tmp_path / "cache")
+    first = ex.extract_video(path, chunk_frames=32, cache_dir=cache)
+    assert len(calls) == 2  # both chunks transformed on the cold run
+    for idx in (0, 1):
+        assert os.path.exists(ex.chunk_cache_path(cache, path, idx))
+
+    calls.clear()
+    resumed = ex.extract_video(path, chunk_frames=32, cache_dir=cache)
+    assert calls == []  # fully cached: zero flow recomputation
+    np.testing.assert_array_equal(first, resumed)

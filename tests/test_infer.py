@@ -241,3 +241,28 @@ def test_torch_weights_wrong_model_clean_error(tmp_path):
             "--videos", str(tmp_path), "--outdir", str(tmp_path / "out"),
             "--torch-weights", str(weights),
         ])
+
+
+def test_features_dir_pins_flow_backend(tmp_path):
+    """--features-dir reuse with a different --flow-backend must fail with
+    the pin error (extraction.record_flow_backend), exactly like
+    extract_features.py — mixing flow definitions in one cache directory
+    would silently change scores."""
+    import pytest
+
+    import infer
+
+    make_sultani_checkpoint(tmp_path / "ckpts")
+    write_video(tmp_path / "Abuse_demo.avi", n_frames=20)
+    fdir = tmp_path / "cache"
+    fdir.mkdir()
+    (fdir / "flow_backend.json").write_text('{"flow_backend": "tvl1"}')
+    with pytest.raises(SystemExit, match="tvl1"):
+        infer.main([
+            "--videos", str(tmp_path),
+            "--outdir", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpts"),
+            "--stream", "flow", "--flow-backend", "host",
+            "--features-dir", str(fdir),
+            "--dtype", "float32",
+        ])

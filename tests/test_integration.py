@@ -511,12 +511,22 @@ def test_infer_cli_watch_mode(tmp_path):
             assert proc.poll() is None, proc.communicate()[0]
             assert time.time() < deadline, "dropped-in video never scored"
             time.sleep(2)
+        # an undecodable file: scored once as a PERMANENT failure
+        # (retryable=false) so it neither blocks --idle-exit nor retries
+        (videos / "bad.avi").write_bytes(b"not a video" * 64)
+        while not (outdir / "bad_scores.error.json").exists():
+            assert proc.poll() is None, proc.communicate()[0]
+            assert time.time() < deadline, "bad video never error-scored"
+            time.sleep(2)
         out, _ = proc.communicate(timeout=300)  # idle-exit fires
     finally:
         if proc.poll() is None:
             proc.kill()
     assert proc.returncode == 0, out
     assert "idle; exiting watch loop" in out
+    bad_err = json.loads((outdir / "bad_scores.error.json").read_text())
+    assert bad_err["retryable"] is False
+    assert not (outdir / "bad_scores.json").exists()
 
     first = json.loads((outdir / "first_scores.json").read_text())
     second = json.loads((outdir / "second_scores.json").read_text())
@@ -530,8 +540,8 @@ def test_infer_cli_watch_mode(tmp_path):
     stats = json.loads((outdir / "_serving_stats.json").read_text())
     assert stats["videos_scored"] == 2
     assert stats["clips_scored"] == 2 + 3
-    assert stats["errors"] == 0
-    assert stats["watching"] == 2
+    assert stats["errors"] == 1  # the undecodable bad.avi
+    assert stats["watching"] == 3
     assert stats["last_latency_s"] > 0
     assert stats["uptime_s"] > 0
 
@@ -640,6 +650,19 @@ def test_infer_cli_http_serving(tmp_path):
             assert err.code == 500
         stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
         assert stats["errors"] == 1
+
+        # path-escape name: basename('x/..') is '..' — must be a clean 400
+        # (not an IsADirectoryError crash that leaks the spool dir)
+        evil = urllib.request.Request(
+            f"{base}/score?name=x%2F..", data=b"zz", method="POST"
+        )
+        try:
+            urllib.request.urlopen(evil, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as err:
+            assert err.code == 400
+        spool = outdir / "_spool"
+        assert not spool.exists() or not any(spool.iterdir())
 
         proc.send_signal(signal.SIGTERM)
         assert proc.wait(timeout=120) == 0

@@ -623,3 +623,60 @@ def test_precision_knob_validation_and_runner_wiring(rng):
         l.dtype != jnp.bfloat16
         for l in jax.tree_util.tree_leaves(runner.state.params)
     )
+
+
+def test_resume_continues_epoch_count(rng, tmp_path):
+    """A resumed run trains only the REMAINING epochs (derived from the
+    restored step), not max_epochs more; a resume whose epoch budget is
+    already spent trains nothing but still reports a final eval."""
+    from anomaly_detection_on_video_tpu.data.features import train_batches
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+
+    mk = lambda kind: FeatureDataset(
+        filenames=[f"{kind}_{i}_i3d.npy" for i in range(4)],
+        _arrays={
+            f"{kind}_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(
+                np.float32
+            )
+            for i in range(4)
+        },
+    )
+    datasets = {"normal": mk("Normal"), "abnormal": mk("Abuse")}
+    valid = make_eval_dataset(rng)
+
+    config, model = build_model("mgfn", **TINY)
+    ckpt = TopKCheckpointer(str(tmp_path))
+    runner = VideoAnomalyDetectionRunner(model, checkpointer=ckpt)
+    runner.fit(datasets, valid_dataset=valid, max_epochs=2, batch_size=2)
+    ckpt.wait()
+    assert int(runner.state.step) == 4  # 2 steps/epoch x 2 epochs
+
+    def resumed_runner():
+        _, fresh = build_model("mgfn", **TINY)
+        r = VideoAnomalyDetectionRunner(fresh, checkpointer=ckpt)
+        example = next(
+            train_batches(
+                datasets["normal"], datasets["abnormal"], batch_size=2
+            )
+        )
+        r.init_state(example["feature"])
+        r.restore(ckpt.restore_latest(r.state))
+        return r
+
+    # one REMAINING epoch (epochs 0-1 already done), not 3 more
+    r = resumed_runner()
+    assert int(r.state.step) == 4
+    result = r.fit(datasets, valid_dataset=valid, max_epochs=3, batch_size=2)
+    assert int(r.state.step) == 6
+    assert result is not None
+
+    # budget already spent: nothing trains, but the restored model still
+    # gets a final eval instead of a silent exit
+    ckpt.wait()
+    r = resumed_runner()
+    assert int(r.state.step) == 6
+    result = r.fit(datasets, valid_dataset=valid, max_epochs=3, batch_size=2)
+    assert int(r.state.step) == 6  # no additional steps
+    assert result is not None and 0.0 <= result.rec_auc <= 1.0
