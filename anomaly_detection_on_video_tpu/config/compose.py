@@ -60,7 +60,7 @@ def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, allow_new: bool) -> 
                     f"override path {dotted!r}: {key!r} not in config "
                     f"(use +{dotted}=... to add new keys)"
                 )
-            node[key] = node.get(key) if isinstance(node.get(key), dict) else {}
+            node[key] = {}
         node = node[key]
     last = keys[-1]
     if not allow_new and last not in node:
@@ -115,9 +115,17 @@ def parse_overrides(
         # the raw token so explicitly quoted strings ('"1e-3"') and bare
         # words (nan, inf) stay strings, like Hydra.
         value = parse_value(raw)
-        is_group = "." not in key and not allow_new
-        if is_group and config_dir is not None:
+        if "." in key:
+            is_group = False
+        elif config_dir is not None:
+            # a dot-free key naming a config-group DIRECTORY is a group
+            # selection whether or not it is '+'-prefixed (Hydra's
+            # +group=choice adds a group to the defaults; without this,
+            # '+runner=mgfn' would clobber the composed runner dict with
+            # the bare string 'mgfn')
             is_group = os.path.isdir(os.path.join(config_dir, key))
+        else:
+            is_group = not allow_new  # legacy direct callers
         if is_group:
             # group selection (e.g. runner=mgfn); resolved against config dir
             groups[key] = str(raw)

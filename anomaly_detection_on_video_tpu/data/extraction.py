@@ -351,6 +351,43 @@ class FeatureExtractor:
                 json.dump(self._act_scales, f)
             os.replace(tmp, self._calibration_path)
 
+    def ensure_calibrated(
+        self, outdir: str, video_path: str, chunk_frames: int = CHUNK_FRAMES
+    ) -> None:
+        """Guarantee ``act_scales_<stream>.json`` exists in ``outdir``.
+
+        ``pin_calibration`` alone only loads or defers: when the sidecar is
+        missing, calibration normally happens as a side effect of the first
+        extraction — which a skip-if-exists resume never performs. The
+        multihost leader pass (extract_features.py --multihost --dtype
+        int8) must pin the scales UNCONDITIONALLY before peers start, even
+        when the first video's features are already on disk, or every host
+        would calibrate on its own first chunk and the directory would mix
+        quantizations. Calibrates on the first chunk of ``video_path``
+        (through the stream's host transform, as extraction would) and
+        writes the sidecar. No-op for full-precision extractors.
+        """
+        if not self.quantize:
+            return
+        self.pin_calibration(outdir)
+        if not self._needs_calibration:
+            return
+        source = VideoFrameSource(video_path, chunk_frames)
+        try:
+            chunk = next(iter(source), None)
+        finally:
+            native = getattr(source, "_native", None)
+            if native is not None:
+                native.close()
+        if chunk is None:
+            raise ValueError(
+                f"{video_path}: decoded zero frames (corrupt or empty video)"
+            )
+        transform = self._host_transform()
+        if transform is not None:
+            chunk = transform(chunk)
+        self._calibrate(chunk)
+
     def pad_frames(self, frames: np.ndarray) -> np.ndarray:
         """Host-side loop-pad + group-pad of the raw uint8 frames.
 
@@ -667,6 +704,7 @@ def extract_videos_two_stream(
     chunk_frames: int = CHUNK_FRAMES,
     chunk_cache_for_large: bool = True,
     progress: bool = True,
+    timer=None,
     **extractor_kwargs,
 ) -> int:
     """Two-stream (RGB + flow) extraction sharing ONE decode pass.
@@ -676,7 +714,8 @@ def extract_videos_two_stream(
     decoded chunk feeds the RGB extractor directly and the flow extractor
     through its flow transform, writing ``<stem>_i3d.npy`` and
     ``<stem>_flow.npy`` per video. Idempotency is per stream: a video is
-    re-decoded only if either output is missing.
+    re-decoded only if either output is missing. ``timer``: a
+    utils.profiling.StageTimer collecting decode/transform/device ms.
     """
     rgb_extractor = rgb_extractor or FeatureExtractor(
         stream="rgb", **extractor_kwargs
@@ -718,17 +757,24 @@ def extract_videos_two_stream(
         cache = (
             outdir if chunk_cache_for_large and is_large_video(path) else None
         )
+        stage = timer.stage if timer is not None else _null_stage
         rgb_chunks, flow_chunks = [], []
         index = -1
-        for index, chunk in enumerate(VideoFrameSource(path, chunk_frames)):
+        chunks = iter(VideoFrameSource(path, chunk_frames))
+        while True:
+            with stage("decode_wait"):
+                chunk = next(chunks, None)
+            if chunk is None:
+                break
+            index += 1
             if need_rgb:
                 rgb_chunks.append(_cached_chunk(
-                    rgb_extractor, chunk, path, index, cache
+                    rgb_extractor, chunk, path, index, cache, stage=stage
                 ))
             if need_flow:
                 flow_chunks.append(_cached_chunk(
                     flow_extractor, chunk, path, index, cache,
-                    transform=transform,
+                    transform=transform, stage=stage,
                 ))
         if index < 0:
             raise ValueError(
@@ -769,24 +815,36 @@ def extract_video_two_stream(
     return np.vstack(rgb_chunks), np.vstack(flow_chunks)
 
 
-def _cached_chunk(extractor, chunk, path, index, cache, transform=None):
+def _null_stage(name):
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
+def _cached_chunk(extractor, chunk, path, index, cache, transform=None,
+                  stage=_null_stage):
     """Extract one chunk with the extractor's per-chunk cache semantics.
 
     ``transform`` (e.g. the flow stream's Farneback pass) runs only on a
-    cache miss, so resumed runs skip its cost entirely.
+    cache miss, so resumed runs skip its cost entirely. ``stage`` is a
+    StageTimer.stage-compatible context factory for profiling.
     """
     if cache is not None:
         chunk_path = extractor.chunk_cache_path(cache, path, index)
         if os.path.exists(chunk_path):
             return np.load(chunk_path)
         if transform is not None:
-            chunk = transform(chunk)
-        feats = extractor.extract_frames(chunk)
+            with stage("host_transform"):
+                chunk = transform(chunk)
+        with stage("device_extract"):
+            feats = extractor.extract_frames(chunk)
         atomic_save(chunk_path, feats)
         return feats
     if transform is not None:
-        chunk = transform(chunk)
-    return extractor.extract_frames(chunk)
+        with stage("host_transform"):
+            chunk = transform(chunk)
+    with stage("device_extract"):
+        return extractor.extract_frames(chunk)
 
 
 __all__ = [

@@ -45,6 +45,20 @@ def add_magnitude(feature: np.ndarray) -> np.ndarray:
     return np.concatenate([feature, magnitude], axis=-1)
 
 
+def pad_eval_batch(features: np.ndarray, bucket: int) -> np.ndarray:
+    """(n_clips, n_crops, C) f32 features -> one (1, n_crops, bucket, C+1)
+    eval batch: magnitude channel appended (add_magnitude), crop axis
+    first, clip axis zero-padded to ``bucket`` (masked by the model's
+    length argument — bit-exact vs unpadded, see models/mgfn). The ONE
+    layout contract shared by the live scorer (infer.score_features) and
+    the AOT artifacts (utils/aot.ExportedScorer.score): any padding or
+    magnitude change must hit both paths at once."""
+    n_clips, n_crops = features.shape[:2]
+    out = np.zeros((1, n_crops, bucket, features.shape[-1] + 1), np.float32)
+    out[0, :, :n_clips] = add_magnitude(features).transpose(1, 0, 2)
+    return out
+
+
 def is_normal(filename: str) -> bool:
     """Reference labeling rule: normal iff "Normal" in filename
     (src/dataset.py:54,129)."""
@@ -88,6 +102,7 @@ class FeatureDataset:
     _arrays: Dict[str, np.ndarray] = field(default_factory=dict)
     _zip_path: Optional[str] = None
     _zip_members: Dict[str, str] = field(default_factory=dict)
+    _dir_path: Optional[str] = None
     labels: Optional[Dict[str, List[float]]] = None
     pairs: Dict[str, str] = field(default_factory=dict)
     _zipfile: Optional[zipfile.ZipFile] = field(default=None, repr=False)
@@ -98,6 +113,11 @@ class FeatureDataset:
     def _load(self, fname: str) -> np.ndarray:
         if fname in self._arrays:
             return self._arrays[fname]
+        if self._dir_path is not None:
+            # per-access load (fd opened and closed here): a persistent
+            # mmap per file would hold len(dataset) descriptors and blow
+            # the fd limit on real-scale feature directories
+            return np.load(os.path.join(self._dir_path, fname))
         if self._zipfile is None:
             self._zipfile = zipfile.ZipFile(self._zip_path)
         with self._zipfile.open(self._zip_members[fname]) as f:
@@ -148,9 +168,16 @@ def _index_zip(path: str, dynamic_load: bool) -> Tuple[List[str], Dict, Dict]:
     return filenames, arrays, members
 
 
-def _index_dir(path: str) -> Tuple[List[str], Dict, Dict]:
+def _index_dir(path: str, dynamic_load: bool) -> Tuple[List[str], Dict, Dict]:
+    """List a feature directory. ``dynamic_load`` (the default) keeps no
+    arrays or file handles open — items np.load per access via
+    ``FeatureDataset._dir_path`` (a persistent mmap per file would hold one
+    fd per array and exhaust the fd limit at real dataset scale);
+    ``dynamic_load=False`` eagerly loads everything into RAM."""
     filenames = sorted(f for f in os.listdir(path) if f.endswith(".npy"))
-    arrays = {f: np.load(os.path.join(path, f), mmap_mode="r") for f in filenames}
+    arrays = {}
+    if not dynamic_load:
+        arrays = {f: np.load(os.path.join(path, f)) for f in filenames}
     return filenames, arrays, {}
 
 
@@ -252,11 +279,11 @@ def build_feature_dataset(
             filepath = candidate
 
     if os.path.isdir(filepath):
-        filenames, arrays, members = _index_dir(filepath)
-        zip_path = None
+        filenames, arrays, members = _index_dir(filepath, dynamic_load)
+        zip_path, dir_path = None, filepath
     else:
         filenames, arrays, members = _index_zip(filepath, dynamic_load)
-        zip_path = filepath
+        zip_path, dir_path = filepath, None
 
     filenames, pairs = _select_stream(filenames, stream)
 
@@ -270,6 +297,7 @@ def build_feature_dataset(
             _arrays=arrays,
             _zip_path=zip_path,
             _zip_members=members,
+            _dir_path=dir_path,
             labels=labels,
             pairs=pairs,
         )
@@ -284,6 +312,7 @@ def build_feature_dataset(
             _arrays={k: arrays[k] for k in keys if k in arrays},
             _zip_path=zip_path,
             _zip_members={k: members[k] for k in keys if k in members},
+            _dir_path=dir_path,
             pairs={n: pairs[n] for n in names if n in pairs},
         )
 

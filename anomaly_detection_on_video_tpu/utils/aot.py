@@ -108,10 +108,7 @@ def save_scorer_export(
         "jax_version": jax.__version__,
     }
     path = os.path.join(outdir, MANIFEST_NAME)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, path)
+    atomic_write_bytes(path, json.dumps(manifest, indent=1).encode())
     return path
 
 
@@ -169,8 +166,6 @@ class ExportedScorer:
 
     def score(self, features: np.ndarray) -> np.ndarray:
         """(n_clips, n_crops, channels) f32 -> (n_clips,) anomaly scores."""
-        from anomaly_detection_on_video_tpu.data.features import add_magnitude
-
         features = np.asarray(features, np.float32)
         n_clips, n_crops = features.shape[:2]
         if n_crops != self.n_crops:
@@ -190,10 +185,11 @@ class ExportedScorer:
                 f"bucket is {self.buckets[-1]}; re-export with a larger "
                 "--export-max-clips"
             )
-        feats = np.zeros(
-            (1, n_crops, bucket, self.channels + 1), np.float32
+        from anomaly_detection_on_video_tpu.data.features import (
+            pad_eval_batch,
         )
-        feats[0, :, :n_clips] = add_magnitude(features).transpose(1, 0, 2)
+
+        feats = pad_eval_batch(features, bucket)
         scores = self._exported[bucket](
             feats, np.asarray([n_clips], np.int32)
         )

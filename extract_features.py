@@ -222,30 +222,63 @@ def main(argv=None) -> None:
 
         timer = StageTimer()
 
+    # one flow extractor for every split/branch (--stream both)
+    flow_extractor = make_extractor("flow") if args.stream == "both" else None
+
+    decode_workers = args.decode_workers
+    if decode_workers is None:
+        decode_workers = min(8, os.cpu_count() or 1)
+    if timer is not None and decode_workers > 1:
+        # the pooled path has no per-stage timers (decode runs in a
+        # worker pool); fall back to the serial path so --profile works
+        print("--profile forces --decode-workers 1 (serial path)",
+              file=sys.stderr)
+        decode_workers = 1
+
+    def run_extraction(videos, outdir):
+        """The one dispatch for every mode: pooled concurrent decode when
+        decode_workers > 1, else the serial (profilable) path."""
+        if args.stream == "both":
+            if decode_workers > 1:
+                # pooled two-stream: each decoded chunk feeds both streams,
+                # with decode_workers videos decoding concurrently
+                return extract_videos_pooled(
+                    videos, outdir, extractor, flow_extractor=flow_extractor,
+                    decode_workers=decode_workers,
+                )
+            return extract_videos_two_stream(
+                videos, outdir, extractor, flow_extractor, timer=timer
+            )
+        if decode_workers > 1:
+            return extract_videos_pooled(
+                videos, outdir, extractor, decode_workers=decode_workers
+            )
+        return extract_videos(videos, outdir, extractor, timer=timer)
+
     if args.hf_dataset:
         from datasets import load_dataset  # network mode
 
         dataset = load_dataset(args.hf_dataset, "anomaly")
+        extracted_modes = []
         for mode, split in dataset.items():
+            if args.split and mode != args.split:
+                continue  # --split narrows HF mode too
             videos = [s["video_path"] for s in split]
             outdir = os.path.join(args.outdir, "anomaly_features", mode)
-            if args.stream == "both":
-                n = extract_videos_two_stream(
-                    videos, outdir, extractor, make_extractor("flow")
-                )
-            else:
-                n = extract_videos(videos, outdir, extractor, timer=timer)
+            n = run_extraction(videos, outdir)
+            extracted_modes.append(mode)
             print(f"{mode}: extracted {n} new videos -> {outdir}")
-        train_dir = os.path.join(args.outdir, "anomaly_features", "train")
+        train_dir = (
+            os.path.join(args.outdir, "anomaly_features", "train")
+            if "train" in extracted_modes
+            else None
+        )
     else:
         videos = videos_list
         outdir = os.path.join(args.outdir, args.split) if args.split else args.outdir
         pi, pc = (
             (jax.process_index(), jax.process_count())
             if args.multihost else (0, 1)
-        )
-        flow_extractor = (
-            make_extractor("flow") if args.stream == "both" else None
         )
         if pc > 1:
             from anomaly_detection_on_video_tpu.parallel import barrier
@@ -254,48 +287,18 @@ def main(argv=None) -> None:
                 # one process must own calibration, or each host would
                 # quantize with scales from ITS first chunk
                 # (pin_calibration closes that race only within one host):
-                # process 0 extracts the global first video, pinning
-                # act_scales_<stream>.json, before anyone else starts
+                # process 0 calibrates on the global first video and pins
+                # act_scales_<stream>.json before anyone else starts —
+                # UNCONDITIONALLY (an extraction warm pass would skip when
+                # the first video's features already exist on disk, e.g. a
+                # re-run over a seeded outdir, and never write the scales)
                 if pi == 0:
-                    if args.stream == "both":
-                        extract_videos_two_stream(
-                            videos[:1], outdir, extractor, flow_extractor,
-                            progress=False,
-                        )
-                    else:
-                        extract_videos(
-                            videos[:1], outdir, extractor, progress=False
-                        )
+                    extractor.ensure_calibrated(outdir, videos[0])
+                    if flow_extractor is not None:
+                        flow_extractor.ensure_calibrated(outdir, videos[0])
                 barrier("int8 scales pinned")
-                videos = videos[1:]
             videos = videos[pi::pc]
-        decode_workers = args.decode_workers
-        if decode_workers is None:
-            decode_workers = min(8, os.cpu_count() or 1)
-        if timer is not None and decode_workers > 1:
-            # the pooled path has no per-stage timers (decode runs in a
-            # worker pool); fall back to the serial path so --profile works
-            print("--profile forces --decode-workers 1 (serial path)",
-                  file=sys.stderr)
-            decode_workers = 1
-        if args.stream == "both":
-            if decode_workers > 1:
-                # pooled two-stream: each decoded chunk feeds both streams,
-                # with decode_workers videos decoding concurrently
-                n = extract_videos_pooled(
-                    videos, outdir, extractor, flow_extractor=flow_extractor,
-                    decode_workers=decode_workers,
-                )
-            else:
-                n = extract_videos_two_stream(
-                    videos, outdir, extractor, flow_extractor
-                )
-        elif decode_workers > 1:
-            n = extract_videos_pooled(
-                videos, outdir, extractor, decode_workers=decode_workers
-            )
-        else:
-            n = extract_videos(videos, outdir, extractor, timer=timer)
+        n = run_extraction(videos, outdir)
         who = f"[process {pi}/{pc}] " if pc > 1 else ""
         print(f"{who}extracted {n} new videos ({len(videos)} total) -> {outdir}")
         if pc > 1:

@@ -220,15 +220,11 @@ def score_features(features, apply_fn, variables, eval_step):
     serving mode; the scorers crop-average over whatever is there."""
     import jax.numpy as jnp
 
-    from anomaly_detection_on_video_tpu.data.features import add_magnitude
+    from anomaly_detection_on_video_tpu.data.features import pad_eval_batch
     from anomaly_detection_on_video_tpu.training.runner import eval_bucket
 
-    n_clips, n_crops = features.shape[:2]
-    bucket = eval_bucket(n_clips)
-    feats = np.zeros((1, n_crops, bucket, features.shape[-1] + 1), np.float32)
-    # (n, crops, C+1) -> (crops, n, C+1), zero-padded to the bucket (masked
-    # by the model's length argument — bit-exact vs unpadded, see models/mgfn)
-    feats[0, :, :n_clips] = add_magnitude(features).transpose(1, 0, 2)
+    n_clips = features.shape[0]
+    feats = pad_eval_batch(features, eval_bucket(n_clips))
     scores = eval_step(
         variables, apply_fn, jnp.asarray(feats),
         jnp.asarray([n_clips], np.int32),

@@ -48,18 +48,12 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def find_videos(spec):
-    exts = (".mp4", ".avi", ".mkv", ".mov", ".webm")
-    if os.path.isdir(spec):
-        return sorted(
-            os.path.join(spec, f)
-            for f in os.listdir(spec)
-            if f.lower().endswith(exts)
-        )
-    if os.path.isfile(spec):
-        return [spec]
-    import glob
+    # the extraction CLI's finder (recursive over directories): a sample
+    # dir organized in subfolders must resolve to the SAME video set here
+    # as it did during extraction
+    from extract_features import find_videos as _find
 
-    return sorted(glob.glob(spec))
+    return _find(spec)
 
 
 def decode_frames(path, max_frames):
@@ -368,11 +362,31 @@ def main(argv=None):
     parser.add_argument("--out", default=None, help="write the report JSON here")
     args = parser.parse_args(argv)
 
-    if not (args.videos and args.i3d_weights) and not args.mgfn_weights \
-            and not (args.test_features and args.gt):
+    # every flag must reach a check that actually runs: half-specified
+    # pairs (or --mgfn-weights with nothing to ride on) used to print an
+    # empty report and exit 0, which reads as "parity passed"
+    if bool(args.videos) != bool(args.i3d_weights):
         parser.error(
-            "nothing to check: pass --videos + --i3d-weights, and/or "
-            "--mgfn-weights, and/or --test-features + --gt"
+            "--videos and --i3d-weights go together (I3D feature parity "
+            "needs both)"
+        )
+    if bool(args.test_features) != bool(args.gt):
+        parser.error(
+            "--test-features and --gt go together (the AUC summary needs "
+            "both)"
+        )
+    if not (args.videos and args.i3d_weights) and not (
+        args.test_features and args.gt
+    ):
+        hint = (
+            " (--mgfn-weights alone checks nothing: MGFN scores ride the "
+            "I3D features or the AUC summary)"
+            if args.mgfn_weights
+            else ""
+        )
+        parser.error(
+            "nothing to check: pass --videos + --i3d-weights and/or "
+            "--test-features + --gt" + hint
         )
 
     import torch

@@ -112,3 +112,15 @@ def test_quoted_string_values_stay_strings(tree):
     # unquoted scientific notation is still a float
     cfg = compose(tree, "default", ["+extra.lr=2.5e-4"])
     assert cfg["extra"]["lr"] == pytest.approx(2.5e-4)
+
+
+def test_plus_prefixed_group_selects_instead_of_clobbering(tree):
+    """Hydra's '+group=choice' adds a group to the defaults; it must select
+    the group, not replace the composed group dict with a bare string
+    (previously '+data=alt' set cfg['data'] = 'alt')."""
+    cfg = compose(tree, "default", ["+data=alt"])
+    assert cfg["data"]["path"] == "/b"
+    assert cfg["_choices_"]["data"] == "alt"
+    # '+' still adds genuinely new (non-group) keys
+    cfg = compose(tree, "default", ["+wandb_key=abc"])
+    assert cfg["wandb_key"] == "abc"

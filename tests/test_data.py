@@ -279,3 +279,39 @@ def test_video_class_parsing():
     assert video_class("Normal_Videos944_x264_i3d.npy") == "Normal"
     # degenerate: no alphabetic prefix falls back to the stem itself
     assert video_class("123.avi") == "123.avi"
+
+
+def test_dir_dataset_holds_no_file_descriptors(tmp_path):
+    """Directory-backed datasets must not keep a descriptor per file: a
+    persistent mmap per .npy would exhaust the fd limit on a real-scale
+    feature directory (~1600 train files). dynamic_load (the default)
+    loads per access; dynamic_load=False loads eagerly into RAM — neither
+    holds fds open."""
+    import os as _os
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "features"
+    d.mkdir()
+    names = [
+        (f"Normal_{i}_i3d.npy" if i % 2 == 0 else f"Abuse_{i}_i3d.npy")
+        for i in range(40)
+    ]
+    for name in names:
+        np.save(d / name, rng.randn(10, 32, 8).astype(np.float32))
+
+    def open_fds():
+        return len(_os.listdir("/proc/self/fd"))
+
+    for dynamic in (True, False):
+        before = open_fds()
+        ds = build_feature_dataset(
+            "train", local_path=str(d), dynamic_load=dynamic
+        )
+        item = ds["normal"][0]
+        assert item["feature"].shape == (10, 32, 9)
+        assert open_fds() - before <= 2  # no fd per file
+        # data still correct through the lazy path
+        got = ds["abnormal"][1]
+        np.testing.assert_allclose(
+            got["feature"][..., :8], np.load(d / got["filename"]), rtol=1e-6
+        )

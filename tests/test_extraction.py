@@ -730,3 +730,76 @@ def test_cached_chunks_skip_flow_transform(rng, tmp_path):
     resumed = ex.extract_video(path, chunk_frames=32, cache_dir=cache)
     assert calls == []  # fully cached: zero flow recomputation
     np.testing.assert_array_equal(first, resumed)
+
+
+def test_ensure_calibrated_pins_without_extraction(rng, tmp_path):
+    """The multihost int8 leader must pin act_scales even when the first
+    video's features already exist on disk (an extraction warm pass would
+    skip-if-exists and never calibrate): ensure_calibrated calibrates on
+    the video's first chunk directly and writes the sidecar; peers then
+    load those exact scales."""
+    import json
+
+    import cv2
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "v.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for _ in range(2 * 16):
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+
+    kw = dict(dtype=jnp.float32, batch=10, resize=64, cropsize=56)
+    variables = FeatureExtractor(**kw).variables
+    ex = FeatureExtractor(**kw, variables=variables, quantize=True)
+    outdir = str(tmp_path / "features")
+    ex.ensure_calibrated(outdir, path)
+    sidecar = os.path.join(outdir, "act_scales_rgb.json")
+    assert os.path.exists(sidecar)
+    assert not ex._needs_calibration
+    scales = json.loads(open(sidecar).read())
+    assert len(scales) > 0
+
+    # a peer process pinning the same outdir loads the leader's scales
+    # instead of calibrating on its own chunk
+    peer = FeatureExtractor(**kw, variables=variables, quantize=True)
+    peer.ensure_calibrated(outdir, path)
+    assert peer._act_scales == ex._act_scales
+    # full precision: no-op, no sidecar name collision
+    FeatureExtractor(**kw, variables=variables).ensure_calibrated(
+        outdir, path
+    )
+
+
+def test_two_stream_profile_stage_timers(rng, tmp_path):
+    """--profile works for --stream both: the shared-decode two-stream path
+    takes a StageTimer and reports decode/transform/device stages
+    (previously the timer could not be passed and the report was empty)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.data.extraction import (
+        extract_videos_two_stream,
+    )
+    from anomaly_detection_on_video_tpu.utils.profiling import StageTimer
+
+    path = str(tmp_path / "t.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (96, 64))
+    for _ in range(32):
+        writer.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+
+    kw = dict(dtype=jnp.float32, batch=10, resize=64, cropsize=56)
+    variables = FeatureExtractor(**kw).variables
+    rgb = FeatureExtractor(**kw, variables=variables)
+    flow = FeatureExtractor(
+        **kw, variables=variables, stream="flow", flow_backend="host"
+    )
+    timer = StageTimer()
+    n = extract_videos_two_stream(
+        [path], str(tmp_path / "out"), rgb, flow, progress=False, timer=timer
+    )
+    assert n == 1
+    report = timer.report()
+    for key in ("decode_wait", "host_transform", "device_extract"):
+        assert key in report, report

@@ -160,3 +160,22 @@ def test_parity_check_auc_summary(tmp_path):
     auc = report["auc"]
     assert 0.0 <= auc["jax"]["rec_auc"] <= 1.0
     assert auc["rec_auc_diff"] < 1e-6
+
+
+def test_parity_check_rejects_no_op_flag_combos():
+    """Flag combinations that would run NO check must error instead of
+    printing an empty report with exit 0 (which reads as 'parity
+    passed')."""
+    import parity_check
+
+    for argv in (
+        ["--mgfn-weights", "w.pt"],                      # nothing to ride on
+        ["--videos", "v"],                               # missing weights
+        ["--i3d-weights", "w.pt"],                       # missing videos
+        ["--test-features", "f"],                        # missing --gt
+        ["--gt", "g.json"],                              # missing features
+        ["--videos", "v", "--mgfn-weights", "w.pt"],     # videos unusable
+    ):
+        with pytest.raises(SystemExit) as exc:
+            parity_check.main(argv)
+        assert exc.value.code not in (0, None)
