@@ -63,9 +63,14 @@ VIDEO_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm", ".mpg", ".mpeg")
 
 def find_videos(spec: str):
     if os.path.isdir(spec):
+        # recursive, like extract_features.find_videos: corpora arrive in
+        # class subfolders (the UCF-Crime layout), and both CLIs pointed at
+        # the same directory must resolve the same video set. Unlike that
+        # finder, an empty result is NOT an error here: --watch polls
+        # directories that start out empty.
         return sorted(
-            os.path.join(spec, f)
-            for f in os.listdir(spec)
+            f
+            for f in glob.glob(os.path.join(spec, "**", "*"), recursive=True)
             if f.lower().endswith(VIDEO_EXTS)
         )
     if os.path.isfile(spec):

@@ -266,3 +266,32 @@ def test_features_dir_pins_flow_backend(tmp_path):
             "--features-dir", str(fdir),
             "--dtype", "float32",
         ])
+
+
+def test_find_videos_recurses_like_extract_features(tmp_path):
+    """Both CLIs pointed at the same corpus directory must resolve the SAME
+    video set: UCF-Crime corpora arrive in class subfolders (Abuse/,
+    Arson/, ...), and infer.py used to scan only the top level."""
+    import extract_features
+    import infer
+
+    (tmp_path / "Abuse").mkdir()
+    (tmp_path / "Normal" / "sub").mkdir(parents=True)
+    for rel in (
+        "top_video.mp4",
+        "Abuse/Abuse001_x264.mp4",
+        "Normal/sub/Normal001_x264.avi",
+        "Abuse/notes.txt",  # non-video: ignored
+    ):
+        (tmp_path / rel).write_bytes(b"x")
+
+    got = infer.find_videos(str(tmp_path))
+    assert got == extract_features.find_videos(str(tmp_path))
+    assert [os.path.basename(p) for p in got] == [
+        "Abuse001_x264.mp4", "Normal001_x264.avi", "top_video.mp4",
+    ]
+    # --watch polls directories that start out empty: no videos is not an
+    # error here (unlike the extraction CLI's finder)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert infer.find_videos(str(empty)) == []
