@@ -40,6 +40,30 @@ def find_videos(spec: str):
     return files
 
 
+def warn_duplicate_stems(paths, what: str = "extracted") -> dict:
+    """Warn when videos from different folders share a filename stem.
+
+    Every on-disk artifact is stem-keyed (the reference's ``<stem>_i3d.npy``
+    contract, extract_features.py:126), so of N same-stem videos only the
+    first is ever processed — the rest skip as \"already done\". Recursive
+    directory discovery makes this easy to hit (class subfolders can reuse
+    names); say so up front instead of silently dropping videos.
+    """
+    by_stem: dict = {}
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        by_stem.setdefault(stem, []).append(p)
+    dups = {s: ps for s, ps in by_stem.items() if len(ps) > 1}
+    for stem, ps in sorted(dups.items()):
+        print(
+            f"warning: {len(ps)} videos share the stem {stem!r} "
+            f"({', '.join(ps)}); outputs are stem-keyed, so only the first "
+            f"will be {what}",
+            file=sys.stderr,
+        )
+    return dups
+
+
 def load_weights(path: str | None, model_name: str, flag: str = "--weights"):
     if path is None:
         print(
@@ -156,6 +180,7 @@ def main(argv=None) -> None:
         if not args.videos:
             parser.error("one of --videos / --hf-dataset is required")
         videos_list = find_videos(args.videos)
+        warn_duplicate_stems(videos_list)
 
     if args.compile_cache:
         from anomaly_detection_on_video_tpu.utils.compile_cache import (

@@ -904,6 +904,11 @@ def main(argv=None) -> None:
         return
 
     if not args.watch:
+        from extract_features import warn_duplicate_stems
+
+        # score JSONs are stem-keyed: same-stem videos from different
+        # subfolders would silently skip as "already scored"
+        warn_duplicate_stems(videos, what="scored")
         for path in videos:
             try:
                 process(path)

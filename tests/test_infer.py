@@ -295,3 +295,20 @@ def test_find_videos_recurses_like_extract_features(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert infer.find_videos(str(empty)) == []
+
+
+def test_warn_duplicate_stems(capsys):
+    """Stem-keyed outputs drop all but the first same-stem video; the CLIs
+    must say so instead of silently skipping (recursive discovery makes
+    same-stem videos in different class subfolders easy to hit)."""
+    import extract_features
+
+    dups = extract_features.warn_duplicate_stems(
+        ["a/v1.mp4", "b/v1.avi", "c/v2.mp4"], what="scored"
+    )
+    assert set(dups) == {"v1"}
+    err = capsys.readouterr().err
+    assert "share the stem 'v1'" in err and "only the first" in err
+    assert "v2" not in err
+
+    assert extract_features.warn_duplicate_stems(["a/v1.mp4", "b/v2.mp4"]) == {}
