@@ -220,7 +220,15 @@ def make_eval_step(mesh: Optional[jax.sharding.Mesh] = None):
     """
 
     def score(variables, apply_fn, feature, length):
-        return apply_fn(variables, feature, length=length).scores
+        # pin full-f32 matmuls (TPU "highest"): scorer FLOPs are negligible
+        # next to extraction, and DEFAULT-precision dots are not a stable
+        # numeric contract — the same function re-lowered from a serialized
+        # export (utils/aot.py) picked a lower-precision dot path and
+        # drifted scores by up to 0.4 on a v5e. Pinning here and in
+        # export_scorer makes live serving and AOT artifacts bit-equal.
+        # CPU numerics are unchanged (f32 dots are exact there).
+        with jax.default_matmul_precision("highest"):
+            return apply_fn(variables, feature, length=length).scores
 
     if mesh is None:
         return jax.jit(score, static_argnums=(1,))

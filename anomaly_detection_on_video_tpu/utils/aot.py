@@ -60,7 +60,13 @@ def export_scorer(
     from jax import export as jax_export
 
     def fn(feature, length):
-        return apply_fn(variables, feature, length=length).scores
+        # full-f32 matmuls, matching the live scorer (make_eval_step): a
+        # DEFAULT-precision lowering is not a stable numeric contract — the
+        # deserialized artifact's dots recompiled to a lower-precision path
+        # on TPU and drifted scores by up to 0.4 vs the live jit. With the
+        # precision pinned on both sides the artifact is bit-equal to live.
+        with jax.default_matmul_precision("highest"):
+            return apply_fn(variables, feature, length=length).scores
 
     exported = {}
     for bucket in sorted(set(int(b) for b in buckets)):

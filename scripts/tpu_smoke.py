@@ -249,17 +249,26 @@ def smoke_aot_export():
         loaded = ExportedScorer(d)
         feats = rng.randn(5, 10, 2048).astype(np.float32)
         aot = loaded.score(feats)
-        from anomaly_detection_on_video_tpu.data.features import add_magnitude
+        # compare against the PRODUCTION live path (make_eval_step, what
+        # infer.py serves with): both pin HIGHEST matmul precision, so the
+        # artifact must be bit-equal on the real chip — an unpinned ad-hoc
+        # jit drifts ~1e-3 here (DEFAULT-precision dots)
+        from anomaly_detection_on_video_tpu.data.features import (
+            pad_eval_batch,
+        )
+        from anomaly_detection_on_video_tpu.training.runner import (
+            make_eval_step,
+        )
 
-        pad = np.zeros((1, 10, 32, 2049), np.float32)
-        pad[0, :, :5] = add_magnitude(feats).transpose(1, 0, 2)
+        pad = pad_eval_batch(feats, 32)
         direct = np.asarray(
-            jax.jit(
-                lambda v, f, l: model.apply(v, f, length=l).scores
-            )(variables, jnp.asarray(pad), jnp.asarray([5], np.int32))
+            make_eval_step()(
+                variables, model.apply, jnp.asarray(pad),
+                jnp.asarray([5], np.int32),
+            )
         )[0, :5, 0]
     diff = float(np.abs(aot - direct).max())
-    assert diff < 1e-4, f"AOT vs live diff {diff}"
+    assert diff == 0.0, f"AOT vs live diff {diff}"
     return f"bucket-32 artifact on {jax.devices()[0].platform}, diff {diff:.2e}"
 
 

@@ -179,3 +179,21 @@ def test_infer_cli_from_export_crop_mismatch(tmp_path):
                 "--outdir", str(tmp_path / "scores"),
             ]
         )
+
+
+def test_export_pins_matmul_precision():
+    """The artifact must carry explicit HIGHEST dot precision: a
+    DEFAULT-precision lowering is not a stable numeric contract — on TPU a
+    deserialized default-precision export recompiled to a lower-precision
+    dot path and drifted scores by up to 0.4 vs the live jit (which pins
+    the same precision in make_eval_step, keeping live == AOT bit-equal)."""
+    from jax import export as jax_export
+
+    model, variables = tiny_mgfn(channels=24)
+    blobs = export_scorer(
+        model.apply, variables, channels=24, buckets=(32,), platforms=None
+    )
+    text = jax_export.deserialize(blobs[32]).mlir_module()
+    assert "HIGHEST" in text
+    # every dot/convolution carries the pinned precision, none are DEFAULT
+    assert "DEFAULT" not in text
