@@ -11,7 +11,9 @@ re-implements that composition semantics on plain ``dict``s + PyYAML:
 - ``_self_`` in the defaults list positions the root file's own keys.
 - CLI overrides: ``group=choice`` re-selects a group file;
   ``a.b.c=value`` deep-sets a value (YAML-parsed, so ``lr=1e-3`` is a float);
-  ``+a.b=value`` adds a new key.
+  ``+a.b=value`` adds a new key; ``~a.b`` deletes a key (``~a.b=value``
+  additionally requires the current value to match, Hydra's delete grammar)
+  and ``~group`` drops a config group from the defaults list.
 
 Choices are recorded in ``cfg["_choices_"]`` so run names can interpolate them
 (the reference's WandB run name does the same via Hydra runtime choices,
@@ -71,6 +73,30 @@ def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, allow_new: bool) -> 
     node[last] = value
 
 
+# "no expected value" marker for ~key deletions without an =value part
+_UNSET = object()
+
+
+def _deep_del(cfg: Dict[str, Any], dotted: str, expected: Any = _UNSET) -> None:
+    keys = dotted.split(".")
+    node = cfg
+    for key in keys[:-1]:
+        if not isinstance(node.get(key), dict):
+            raise KeyError(
+                f"cannot delete {dotted!r}: {key!r} not in config"
+            )
+        node = node[key]
+    last = keys[-1]
+    if last not in node:
+        raise KeyError(f"cannot delete {dotted!r}: key not in config")
+    if expected is not _UNSET and node[last] != expected:
+        raise ValueError(
+            f"cannot delete {dotted!r}: current value is {node[last]!r}, "
+            f"not {expected!r}"
+        )
+    del node[last]
+
+
 def parse_value(raw: str) -> Any:
     """Parse one CLI override value with Hydra-style scalar semantics.
 
@@ -93,7 +119,10 @@ def parse_overrides(
     """Split CLI args into group selections and value overrides.
 
     Returns ``(group_choices, value_overrides)`` where value_overrides are
-    ``(dotted_key, parsed_value, allow_new)`` tuples.
+    ``(dotted_key, parsed_value, mode)`` tuples, ``mode`` one of ``False``
+    (plain set), ``True`` (+new key), or ``"~"`` (delete; the value is the
+    expected current value, or the ``_UNSET`` sentinel for bare ``~key``).
+    A deleted group appears in ``group_choices`` with choice ``None``.
 
     A dot-free ``key=value`` is a group selection only when ``key`` names a
     config-group *directory* under ``config_dir``; otherwise it is a root
@@ -102,19 +131,28 @@ def parse_overrides(
     run.py:9-12). Without a ``config_dir`` every dot-free key is treated as
     a group selection (legacy behavior, kept for direct callers).
     """
-    groups: Dict[str, str] = {}
-    values: List[Tuple[str, Any, bool]] = []
+    groups: Dict[str, Optional[str]] = {}
+    values: List[Tuple[str, Any, Any]] = []
     for arg in args:
-        if "=" not in arg:
-            raise ValueError(f"override {arg!r} must look like key=value")
-        key, _, raw = arg.partition("=")
+        delete = arg.startswith("~")
+        body = arg[1:] if delete else arg
+        if "=" not in body:
+            if not delete:
+                raise ValueError(f"override {arg!r} must look like key=value")
+            key, raw = body, None
+        else:
+            key, _, raw = body.partition("=")
         allow_new = key.startswith("+")
+        if delete and allow_new:
+            raise ValueError(f"override {arg!r}: '~' and '+' cannot combine")
         key = key.lstrip("+")
+        if not key:
+            raise ValueError(f"override {arg!r} has an empty key")
         # YAML 1.1 parses bare scientific notation ("1e-3") as a string;
         # Hydra treats it as a float — parse_value matches that, keying off
         # the raw token so explicitly quoted strings ('"1e-3"') and bare
         # words (nan, inf) stay strings, like Hydra.
-        value = parse_value(raw)
+        value = parse_value(raw) if raw is not None else _UNSET
         if "." in key:
             is_group = False
         elif config_dir is not None:
@@ -125,12 +163,13 @@ def parse_overrides(
             # the bare string 'mgfn')
             is_group = os.path.isdir(os.path.join(config_dir, key))
         else:
-            is_group = not allow_new  # legacy direct callers
+            is_group = not allow_new and not delete  # legacy direct callers
         if is_group:
-            # group selection (e.g. runner=mgfn); resolved against config dir
-            groups[key] = str(raw)
+            # group selection (e.g. runner=mgfn) or deletion (~runner);
+            # resolved against config dir
+            groups[key] = None if delete else str(raw)
         else:
-            values.append((key, value, allow_new))
+            values.append((key, value, "~" if delete else allow_new))
     return groups, values
 
 
@@ -214,7 +253,7 @@ def compose(
         else:
             (group, choice), = entry.items()
         choice = group_over.pop(group, choice)
-        if choice in (None, "null", "none"):
+        if choice in (None, "null", "none"):  # null selection or ~group
             continue
         choices[group] = choice
         _set_group(cfg, group, _load_group(config_dir, group, str(choice)))
@@ -223,11 +262,19 @@ def compose(
 
     # group selections not present in the defaults list are still honored
     for group, choice in group_over.items():
+        if choice is None:
+            raise ValueError(
+                f"cannot delete config group {group!r}: "
+                "not in the defaults list"
+            )
         choices[group] = choice
         _set_group(cfg, group, _load_group(config_dir, group, choice))
 
-    for dotted, value, allow_new in value_over:
-        _deep_set(cfg, dotted, value, allow_new)
+    for dotted, value, mode in value_over:
+        if mode == "~":
+            _deep_del(cfg, dotted, value)
+        else:
+            _deep_set(cfg, dotted, value, mode)
 
     cfg["_choices_"] = choices
     return cfg

@@ -31,6 +31,8 @@ Hydra-style overrides (reference: run.py:15, configs/default.yaml):
   GROUP=CHOICE      select a config-group file, e.g. runner=mgfn
   KEY=VALUE         dotted value override, e.g. data.batch_size=8 or seed=1
   +KEY=VALUE        add a key that is not in the composed config
+  ~KEY[=VALUE]      delete a key (=VALUE must match the current value);
+                    ~GROUP drops a config group from the defaults list
 
 flags:
   -h, --help        show this help and exit
@@ -94,7 +96,7 @@ def run_multirun(config_dir: str, argv, sweep_dir: str) -> None:
 
     jobs = expand_multirun(argv)
     os.makedirs(sweep_dir, exist_ok=True)
-    explicit = {arg.partition("=")[0].lstrip("+") for arg in argv}
+    explicit = {arg.partition("=")[0].lstrip("+~") for arg in argv}
     failures = 0
     with open(os.path.join(sweep_dir, "multirun.jsonl"), "a") as log:
         for idx, job_args in enumerate(jobs):

@@ -124,3 +124,28 @@ def test_plus_prefixed_group_selects_instead_of_clobbering(tree):
     # '+' still adds genuinely new (non-group) keys
     cfg = compose(tree, "default", ["+wandb_key=abc"])
     assert cfg["wandb_key"] == "abc"
+
+
+def test_tilde_deletes_value_keys(tree):
+    """Hydra's '~key' delete grammar: '~a.b' removes the key; '~a.b=value'
+    requires the current value to match before deleting."""
+    cfg = compose(tree, "default", ["~data.path"])
+    assert "path" not in cfg["data"]
+    cfg = compose(tree, "default", ["~seed"])  # root scalar
+    assert "seed" not in cfg
+    cfg = compose(tree, "default", ["~data.batch_size=16"])  # matching value
+    assert "batch_size" not in cfg["data"]
+    with pytest.raises(ValueError, match="current value"):
+        compose(tree, "default", ["~data.batch_size=99"])
+    with pytest.raises(KeyError, match="not in config"):
+        compose(tree, "default", ["~data.nope"])
+    with pytest.raises(ValueError, match="cannot combine"):
+        compose(tree, "default", ["~+data.path"])
+
+
+def test_tilde_deletes_groups(tree):
+    """'~group' drops the group from the defaults list entirely."""
+    cfg = compose(tree, "default", ["~data"])
+    assert "data" not in cfg
+    assert "data" not in cfg["_choices_"]
+    assert cfg["trainer"]["max_epochs"] == 10  # others unaffected
