@@ -4,6 +4,7 @@ from .compose import (
     merge,
     parse_overrides,
     parse_value,
+    resolve_interpolations,
     to_container,
 )
 from .registry import instantiate, locate
@@ -14,6 +15,7 @@ __all__ = [
     "merge",
     "parse_overrides",
     "parse_value",
+    "resolve_interpolations",
     "to_container",
     "instantiate",
     "locate",

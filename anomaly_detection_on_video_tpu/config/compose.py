@@ -11,9 +11,12 @@ re-implements that composition semantics on plain ``dict``s + PyYAML:
 - ``_self_`` in the defaults list positions the root file's own keys.
 - CLI overrides: ``group=choice`` re-selects a group file;
   ``a.b.c=value`` deep-sets a value (YAML-parsed, so ``lr=1e-3`` is a float);
-  ``+a.b=value`` adds a new key; ``~a.b`` deletes a key (``~a.b=value``
+  ``+a.b=value`` adds a NEW key (errors if it exists, like Hydra);
+  ``++a.b=value`` adds-or-overrides; ``~a.b`` deletes a key (``~a.b=value``
   additionally requires the current value to match, Hydra's delete grammar)
   and ``~group`` drops a config group from the defaults list.
+- ``${a.b}`` / ``${hydra:runtime.choices.<group>}`` / ``${now:<fmt>}`` value
+  interpolations resolve after overrides (see :func:`resolve_interpolations`).
 
 Choices are recorded in ``cfg["_choices_"]`` so run names can interpolate them
 (the reference's WandB run name does the same via Hydra runtime choices,
@@ -52,7 +55,14 @@ def merge(base: Dict[str, Any], other: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, allow_new: bool) -> None:
+def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, mode: Any) -> None:
+    """Deep-set ``dotted`` to ``value``.
+
+    ``mode`` is Hydra's override prefix: ``False`` (no prefix — the key must
+    already exist), ``True`` (``+`` — the key must NOT exist yet) or ``"++"``
+    (add-or-override unconditionally).
+    """
+    allow_new = mode is not False
     keys = dotted.split(".")
     node = cfg
     for key in keys[:-1]:
@@ -69,6 +79,12 @@ def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, allow_new: bool) -> 
         raise KeyError(
             f"override key {dotted!r} does not exist "
             f"(use +{dotted}=... to add new keys)"
+        )
+    if mode is True and last in node:
+        raise KeyError(
+            f"could not append to config: an item is already at {dotted!r}; "
+            f"either remove the + prefix ({dotted}=...) or use a second + "
+            f"to add-or-override (++{dotted}=...)"
         )
     node[last] = value
 
@@ -120,7 +136,8 @@ def parse_overrides(
 
     Returns ``(group_choices, value_overrides)`` where value_overrides are
     ``(dotted_key, parsed_value, mode)`` tuples, ``mode`` one of ``False``
-    (plain set), ``True`` (+new key), or ``"~"`` (delete; the value is the
+    (plain set), ``True`` (``+`` — add a NEW key; errors if it exists, like
+    Hydra), ``"++"`` (add-or-override), or ``"~"`` (delete; the value is the
     expected current value, or the ``_UNSET`` sentinel for bare ``~key``).
     A deleted group appears in ``group_choices`` with choice ``None``.
 
@@ -142,9 +159,15 @@ def parse_overrides(
             key, raw = body, None
         else:
             key, _, raw = body.partition("=")
-        allow_new = key.startswith("+")
-        if delete and allow_new:
+        plus = len(key) - len(key.lstrip("+"))
+        if delete and plus:
             raise ValueError(f"override {arg!r}: '~' and '+' cannot combine")
+        if plus > 2:
+            raise ValueError(
+                f"override {arg!r}: at most two '+' prefixes (+key adds, "
+                f"++key adds-or-overrides)"
+            )
+        allow_new = plus > 0
         key = key.lstrip("+")
         if not key:
             raise ValueError(f"override {arg!r} has an empty key")
@@ -169,7 +192,13 @@ def parse_overrides(
             # resolved against config dir
             groups[key] = None if delete else str(raw)
         else:
-            values.append((key, value, "~" if delete else allow_new))
+            if delete:
+                mode: Any = "~"
+            elif plus == 2:
+                mode = "++"
+            else:
+                mode = allow_new
+            values.append((key, value, mode))
     return groups, values
 
 
@@ -277,9 +306,110 @@ def compose(
             _deep_set(cfg, dotted, value, mode)
 
     cfg["_choices_"] = choices
-    return cfg
+    return resolve_interpolations(cfg)
 
 
 def to_container(cfg: Any) -> Any:
     """Plain-dict view (we already are plain dicts; kept for API parity)."""
     return copy.deepcopy(cfg)
+
+
+# ${...} interpolation grammar (innermost-first so ${a.${b}} resolves)
+_INTERP = re.compile(r"\$\{([^${}]+)\}")
+# placeholder protecting the \${ escape during substitution
+_ESCAPED_INTERP = "\x00escaped-interp\x00"
+
+
+def resolve_interpolations(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Resolve OmegaConf/Hydra-style ``${...}`` value interpolations.
+
+    The reference's configs rely on Hydra interpolation (the W&B run name,
+    reference: configs/trainer/logger/wandb.yaml:3, interpolates
+    ``${hydra:runtime.choices.*}`` and ``${now:...}``); user-authored config
+    files here get the same grammar. Supported forms:
+
+    - ``${a.b.c}`` — absolute dotted path into the composed config. A value
+      that is exactly one interpolation keeps the referenced type
+      (``bs: ${data.batch_size}`` stays an int); embedded in a larger
+      string it is stringified (``None`` becomes the empty string).
+    - ``${hydra:runtime.choices.<group>}`` — the selected config-group
+      choice (recorded in ``cfg["_choices_"]``).
+    - ``${now:<strftime format>}`` — current-time formatting.
+    - ``\\${`` escapes a literal ``${``.
+
+    Unknown keys, unsupported resolvers, and reference cycles raise
+    ``ValueError`` naming the interpolation. Called by :func:`compose` after
+    all CLI overrides are applied, so interpolations see final values.
+    """
+
+    def lookup(expr: str, stack: Tuple[str, ...]) -> Any:
+        name = expr.strip()
+        if name in stack:
+            raise ValueError(
+                "interpolation cycle: " + " -> ".join(stack + (name,))
+            )
+        if ":" in name:
+            resolver, _, arg = name.partition(":")
+            if resolver == "now":
+                import datetime
+
+                return datetime.datetime.now().strftime(arg)
+            if name.startswith("hydra:runtime.choices."):
+                group = name[len("hydra:runtime.choices.") :]
+                choices = cfg.get("_choices_", {})
+                if group not in choices:
+                    raise ValueError(
+                        f"interpolation ${{{name}}}: no choice recorded for "
+                        f"config group {group!r} "
+                        f"(recorded: {sorted(choices)})"
+                    )
+                return choices[group]
+            raise ValueError(
+                f"interpolation ${{{name}}}: unsupported resolver "
+                f"{resolver!r} (supported: dotted config paths, "
+                f"hydra:runtime.choices.<group>, now:<strftime>)"
+            )
+        node: Any = cfg
+        for part in name.split("."):
+            if not (isinstance(node, dict) and part in node):
+                raise ValueError(
+                    f"interpolation ${{{name}}} does not resolve to a "
+                    f"config key ({part!r} not found)"
+                )
+            node = node[part]
+        return resolve(node, stack + (name,))
+
+    def resolve(value: Any, stack: Tuple[str, ...]) -> Any:
+        if isinstance(value, dict):
+            return {k: resolve(v, stack) for k, v in value.items()}
+        if isinstance(value, list):
+            return [resolve(v, stack) for v in value]
+        if not isinstance(value, str) or "${" not in value:
+            return value
+        text = value.replace("\\${", _ESCAPED_INTERP)
+        for _ in range(20):
+            if "${" not in text:
+                break
+            full = _INTERP.fullmatch(text)
+            if full is not None:
+                # a pure interpolation keeps the referenced value's type
+                return lookup(full.group(1), stack)
+
+            def sub(match: "re.Match[str]") -> str:
+                result = lookup(match.group(1), stack)
+                if isinstance(result, (dict, list)):
+                    raise ValueError(
+                        f"interpolation ${{{match.group(1).strip()}}} is a "
+                        f"container; it cannot be embedded in a string"
+                    )
+                return "" if result is None else str(result)
+
+            new = _INTERP.sub(sub, text)
+            if new == text:  # leftover "${" with no parseable body: literal
+                break
+            text = new
+        else:
+            raise ValueError(f"interpolation nests too deeply in {value!r}")
+        return text.replace(_ESCAPED_INTERP, "${")
+
+    return resolve(cfg, ())

@@ -149,3 +149,66 @@ def test_tilde_deletes_groups(tree):
     assert "data" not in cfg
     assert "data" not in cfg["_choices_"]
     assert cfg["trainer"]["max_epochs"] == 10  # others unaffected
+
+
+def test_plus_on_existing_key_errors_and_plusplus_forces(tree):
+    """Hydra's append grammar: '+key=v' errors when the key already exists
+    (pointing at the '++' form); '++key=v' adds-or-overrides either way."""
+    with pytest.raises(KeyError, match=r"already at.*\+\+"):
+        compose(tree, "default", ["+data.batch_size=4"])
+    cfg = compose(tree, "default", ["++data.batch_size=4", "++extra.k=1"])
+    assert cfg["data"]["batch_size"] == 4  # existing key overridden
+    assert cfg["extra"]["k"] == 1  # new key added
+    with pytest.raises(ValueError, match="at most two"):
+        compose(tree, "default", ["+++data.batch_size=4"])
+
+
+def test_interpolation_dotted_path_and_typing(tree):
+    """${a.b} resolves against the final composed config; a value that is
+    exactly one interpolation keeps the referenced type (OmegaConf), and
+    embedded interpolations stringify."""
+    cfg = compose(
+        tree, "default",
+        ["+extra.bs=${data.batch_size}", "+extra.name=run-${data.batch_size}",
+         "data.batch_size=32"],
+    )
+    assert cfg["extra"]["bs"] == 32  # int, post-override value
+    assert cfg["extra"]["name"] == "run-32"
+
+
+def test_interpolation_in_config_files(tree):
+    """Interpolations written in YAML files resolve too (Hydra configs do
+    this routinely); \\${ escapes a literal."""
+    write(tree, "data/interp.yaml",
+          "batch_size: 8\npath: /a\nlabel: bs${batch_size}\n")
+    # relative-to-group names are not a thing here: absolute path from root
+    write(tree, "data/interp2.yaml",
+          "batch_size: 8\npath: /a\nlabel: bs-${data.batch_size}\n"
+          'literal: "\\\\${not.an.interp}"\n')
+    cfg = compose(tree, "default", ["data=interp2"])
+    assert cfg["data"]["label"] == "bs-8"
+    assert cfg["data"]["literal"] == "${not.an.interp}"
+
+
+def test_interpolation_choices_and_now_resolvers(tree):
+    """The reference's W&B run-name grammar (configs/trainer/logger/
+    wandb.yaml:3): ${hydra:runtime.choices.<group>} and ${now:<fmt>}."""
+    cfg = compose(
+        tree, "default",
+        ["data=alt",
+         "+run_name=${hydra:runtime.choices.data}-${now:%Y}"],
+    )
+    year = cfg["run_name"].rsplit("-", 1)[1]
+    assert cfg["run_name"].startswith("alt-")
+    assert len(year) == 4 and year.isdigit()
+
+
+def test_interpolation_errors_are_clean(tree):
+    with pytest.raises(ValueError, match="does not resolve"):
+        compose(tree, "default", ["+x=${no.such.key}"])
+    with pytest.raises(ValueError, match="unsupported resolver"):
+        compose(tree, "default", ["+x=${oc.env:HOME}"])
+    with pytest.raises(ValueError, match="cycle"):
+        compose(tree, "default", ["+a=${b}", "+b=${a}"])
+    with pytest.raises(ValueError, match="container"):
+        compose(tree, "default", ["+x=prefix-${data}"])
