@@ -62,10 +62,23 @@ class TrainState(struct.PyTreeNode):
 PRECISIONS = ("32-true", "bf16-mixed")
 
 
+def _grouped(iterable, size: int):
+    """Yield lists of up to ``size`` consecutive items (last may be short)."""
+    group = []
+    for item in iterable:
+        group.append(item)
+        if len(group) == size:
+            yield group
+            group = []
+    if group:
+        yield group
+
+
 def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     state: Optional["TrainState"] = None,
     precision: str = "32-true",
+    microbatched: bool = False,
 ):
     """Build the jit'd train step.
 
@@ -98,6 +111,21 @@ def make_train_step(
     params, gradients, optimizer moments, and batch statistics stay
     float32 — the gradient of the cast is a cast back, so ``grads`` below
     arrives in f32 automatically and the Adam update is full-precision.
+
+    ``microbatched=True`` builds the gradient-accumulation form (the role
+    of Lightning's ``accumulate_grad_batches`` Trainer knob, reachable in
+    the reference through its ``_target_``-instantiated Trainer): every
+    batch argument carries a leading micro-batch axis ``(k, ...)`` and
+    ``rng`` is a stack of ``k`` dropout keys. The step ``lax.scan``s the
+    forward/backward over the micro-batches — threading batch statistics
+    sequentially, exactly as if the micro-batches were consecutive steps —
+    averages the gradients, and applies the optimizer ONCE, so ``k`` here
+    matches Lightning's semantics of ``k`` accumulated loader batches per
+    optimizer step. ``k`` is read from the input shape, so a short trailing
+    group at an epoch boundary accumulates over what it has (one extra
+    compile for that shape). The TrainState layout is unchanged —
+    checkpoints interchange freely across ``accumulate_grad_batches``
+    settings.
     """
     if precision not in PRECISIONS:
         raise ValueError(
@@ -107,8 +135,7 @@ def make_train_step(
     half = precision == "bf16-mixed"
 
     def step(state: TrainState, feature, normal_labels, abnormal_labels, rng):
-        def loss_fn(params):
-            x = feature
+        def loss_fn(params, stats, x, n_labels, a_labels, dropout_rng):
             if half:
                 params = jax.tree_util.tree_map(
                     lambda p: p.astype(jnp.bfloat16)
@@ -117,12 +144,12 @@ def make_train_step(
                 )
                 x = x.astype(jnp.bfloat16)
             out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": stats},
                 x,
-                abnormal_labels=abnormal_labels,
-                normal_labels=normal_labels,
+                abnormal_labels=a_labels,
+                normal_labels=n_labels,
                 train=True,
-                rngs={"dropout": rng},
+                rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
             # running batch stats keep their master dtype (f32) so the
@@ -130,13 +157,39 @@ def make_train_step(
             new_stats = jax.tree_util.tree_map(
                 lambda new, old: new.astype(old.dtype),
                 updates["batch_stats"],
-                state.batch_stats,
+                stats,
             )
             return out.loss.astype(jnp.float32), new_stats
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if not microbatched:
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
+                state.params, state.batch_stats, feature,
+                normal_labels, abnormal_labels, rng,
+            )
+        else:
+            k = feature.shape[0]
+
+            def micro(carry, xs):
+                stats, grad_sum, loss_sum = carry
+                x, n_labels, a_labels, dropout_rng = xs
+                (loss, new_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, stats, x, n_labels, a_labels, dropout_rng)
+                grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+                return (new_stats, grad_sum, loss_sum + loss), None
+
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            (new_stats, grad_sum, loss_sum), _ = jax.lax.scan(
+                micro,
+                (state.batch_stats, zero_grads, jnp.zeros((), jnp.float32)),
+                (feature, normal_labels, abnormal_labels, rng),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, grad_sum)
+            loss = loss_sum / k
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
@@ -154,7 +207,11 @@ def make_train_step(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch_sharding = NamedSharding(mesh, P("data"))
+    # microbatched inputs carry a leading (k, ...) axis: the bag axis that
+    # shards over `data` is then axis 1, and the per-microbatch rng stack
+    # stays replicated like the single rng
+    bag_axis_spec = P(None, "data") if microbatched else P("data")
+    batch_sharding = NamedSharding(mesh, bag_axis_spec)
     replicated = NamedSharding(mesh, P())
     state_sharding = None
     if state is not None and "model" in mesh.axis_names:
@@ -541,9 +598,17 @@ class VideoAnomalyDetectionRunner:
         eval_batch_videos: int = 8,
         precision: str = "32-true",
         grad_clip: Optional[float] = None,
+        accumulate_grad_batches: int = 1,
     ):
         optimizer_cfg = dict(optimizer_cfg or {})
         self.precision = precision
+        accumulate_grad_batches = int(accumulate_grad_batches)
+        if accumulate_grad_batches < 1:
+            raise ValueError(
+                "trainer.accumulate_grad_batches must be >= 1, got "
+                f"{accumulate_grad_batches}"
+            )
+        self.accumulate_grad_batches = accumulate_grad_batches
         self.model = model
         self.data_cfg = dict(data_cfg or {})
         self.mesh = mesh
@@ -562,7 +627,10 @@ class VideoAnomalyDetectionRunner:
             n = int(mesh.devices.size)
             eval_batch_videos = -(-eval_batch_videos // n) * n
         self.eval_batch_videos = eval_batch_videos
-        self._train_step = make_train_step(mesh, precision=precision)
+        self._train_step = make_train_step(
+            mesh, precision=precision,
+            microbatched=accumulate_grad_batches > 1,
+        )
         self._eval_step = make_eval_step(mesh)
         self.state: Optional[TrainState] = None
 
@@ -586,7 +654,8 @@ class VideoAnomalyDetectionRunner:
                 functools.partial(_put_sharded, self.mesh), self.state, specs
             )
             self._train_step = make_train_step(
-                self.mesh, state=self.state, precision=self.precision
+                self.mesh, state=self.state, precision=self.precision,
+                microbatched=self.accumulate_grad_batches > 1,
             )
         return self.state
 
@@ -611,7 +680,8 @@ class VideoAnomalyDetectionRunner:
                 functools.partial(_put_sharded, self.mesh), state, specs
             )
             self._train_step = make_train_step(
-                self.mesh, state=self.state, precision=self.precision
+                self.mesh, state=self.state, precision=self.precision,
+                microbatched=self.accumulate_grad_batches > 1,
             )
         else:
             from ..parallel.sharding import replicate
@@ -731,8 +801,12 @@ class VideoAnomalyDetectionRunner:
         # reference's drop_last dual-loader, data/features.train_batches) —
         # exact as long as batch_size matches the run that saved. This also
         # resumes the shuffle-order progression (train_batches seeds by
-        # (seed, epoch)).
-        steps_per_epoch = min(len(normal), len(abnormal)) // batch_size
+        # (seed, epoch)). With gradient accumulation each optimizer step
+        # consumes `accumulate` loader batches (short trailing group
+        # included), so the epoch length in optimizer steps rounds up.
+        accumulate = self.accumulate_grad_batches
+        loader_batches = min(len(normal), len(abnormal)) // batch_size
+        steps_per_epoch = -(-loader_batches // accumulate)
         start_epoch = step // steps_per_epoch if steps_per_epoch else 0
         # per-step metric cadence (reference trainer knob
         # log_every_n_steps; null/None = every step) and the optimizer-step
@@ -744,23 +818,39 @@ class VideoAnomalyDetectionRunner:
                 break
             epoch_losses = []
             t0 = time.time()
-            for batch in train_batches(
+            batch_iter = train_batches(
                 normal,
                 abnormal,
                 batch_size=batch_size,
                 shuffle=shuffle,
                 seed=self.seed,
                 epoch=epoch,
-            ):
+            )
+            for group in _grouped(batch_iter, accumulate):
                 if self.state is None:
-                    self.init_state(batch["feature"])
+                    self.init_state(group[0]["feature"])
                 rng, step_rng = jax.random.split(rng)
+                if accumulate == 1:
+                    feature = jnp.asarray(group[0]["feature"])
+                    n_labels = jnp.asarray(group[0]["normal_labels"])
+                    a_labels = jnp.asarray(group[0]["abnormal_labels"])
+                else:
+                    # one optimizer step per group of `accumulate` loader
+                    # batches (Lightning's accumulate_grad_batches): the
+                    # jit'd step scans the stacked micro-batches and
+                    # averages the gradients (make_train_step)
+                    feature = jnp.asarray(
+                        np.stack([b["feature"] for b in group])
+                    )
+                    n_labels = jnp.asarray(
+                        np.stack([b["normal_labels"] for b in group])
+                    )
+                    a_labels = jnp.asarray(
+                        np.stack([b["abnormal_labels"] for b in group])
+                    )
+                    step_rng = jax.random.split(step_rng, len(group))
                 self.state, loss = self._train_step(
-                    self.state,
-                    jnp.asarray(batch["feature"]),
-                    jnp.asarray(batch["normal_labels"]),
-                    jnp.asarray(batch["abnormal_labels"]),
-                    step_rng,
+                    self.state, feature, n_labels, a_labels, step_rng,
                 )
                 loss = float(loss)
                 epoch_losses.append(loss)

@@ -344,6 +344,9 @@ def main(argv=None) -> None:
         eval_batch_videos=int(trainer_cfg.get("eval_batch_videos", 8)),
         precision=str(trainer_cfg.get("precision", "32-true")),
         grad_clip=trainer_cfg.get("gradient_clip_val"),
+        accumulate_grad_batches=int(
+            trainer_cfg.get("accumulate_grad_batches") or 1
+        ),
     )
 
     stream = data_cfg.get("stream", "rgb")

@@ -680,3 +680,132 @@ def test_resume_continues_epoch_count(rng, tmp_path):
     result = r.fit(datasets, valid_dataset=valid, max_epochs=3, batch_size=2)
     assert int(r.state.step) == 6  # no additional steps
     assert result is not None and 0.0 <= result.rec_auc <= 1.0
+
+
+def test_grad_accumulation_matches_mean_of_grads(rng):
+    """Lightning's accumulate_grad_batches semantics: the microbatched step
+    over k stacked loader batches must equal averaging the k independent
+    per-batch gradients and applying Adam ONCE (batch stats thread
+    sequentially; in train mode BN normalizes with batch statistics, so
+    the running stats do not feed back into the microbatch losses)."""
+    import optax
+
+    model, state = tiny_state(dropout_rate=0.0, randomize=True)
+    x1, nlab, alab = make_batch(rng)
+    x2, _, _ = make_batch(rng)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    def loss_fn(params, stats, x, key):
+        out, updates = state.apply_fn(
+            {"params": params, "batch_stats": stats},
+            x,
+            abnormal_labels=alab,
+            normal_labels=nlab,
+            train=True,
+            rngs={"dropout": key},
+            mutable=["batch_stats"],
+        )
+        return out.loss, updates["batch_stats"]
+
+    # oracle first (the jitted step donates `state`)
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+    (l1, s1), g1 = vg(state.params, state.batch_stats, x1, keys[0])
+    (l2, s2), g2 = vg(state.params, s1, x2, keys[1])
+    grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+    updates, _ = state.tx.update(grads, state.opt_state, state.params)
+    want_params = jax.device_get(optax.apply_updates(state.params, updates))
+    want_loss = float((l1 + l2) / 2)
+    want_stats = jax.device_get(s2)
+
+    micro_step = make_train_step(microbatched=True)
+    new_state, loss = micro_step(
+        state,
+        jnp.stack([x1, x2]),
+        jnp.stack([nlab, nlab]),
+        jnp.stack([alab, alab]),
+        keys,
+    )
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-6)
+    # 2e-5 as in test_sharded_train_step_matches_single_device: the scan
+    # sums grads in a different order than the tree-map average (f32)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(want_params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), a, atol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(want_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), a, atol=1e-6)
+    assert int(new_state.step) == 1  # one optimizer step for k batches
+
+
+def test_runner_fit_with_grad_accumulation(rng):
+    """accumulate_grad_batches through the runner: step counts optimizer
+    steps (Lightning global_step), a short trailing group still trains,
+    and resume epoch math uses the rounded-up epoch length."""
+
+    def dataset(prefix, n):
+        return FeatureDataset(
+            filenames=[f"{prefix}_{i}_i3d.npy" for i in range(n)],
+            _arrays={
+                f"{prefix}_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(
+                    np.float32
+                )
+                for i in range(n)
+            },
+        )
+
+    class Capture:
+        def __init__(self):
+            self.records = []
+
+        def log(self, metrics, step):
+            self.records.append((step, metrics))
+
+    config, model = build_model("mgfn", **TINY)
+    cap = Capture()
+    runner = VideoAnomalyDetectionRunner(
+        model, loggers=[cap], accumulate_grad_batches=2
+    )
+    # 3 loader batches per epoch -> groups of 2 then 1 -> 2 optimizer steps
+    runner.fit(
+        {"normal": dataset("Normal", 3), "abnormal": dataset("Abuse", 3)},
+        valid_dataset=make_eval_dataset(rng),
+        max_epochs=2,
+        batch_size=1,
+    )
+    assert int(runner.state.step) == 4  # 2 optimizer steps x 2 epochs
+    train_steps = [s for s, m in cap.records if "train_loss" in m]
+    assert max(train_steps) == 3
+
+    with pytest.raises(ValueError, match="accumulate_grad_batches"):
+        VideoAnomalyDetectionRunner(model, accumulate_grad_batches=0)
+
+
+def test_grad_accumulation_sharded_matches_single(rng):
+    """The microbatched step's (None, 'data') batch sharding: DP over the
+    8-device mesh must match single-device accumulation."""
+    x1, nlab, alab = make_batch(rng, bsz=8)
+    x2, _, _ = make_batch(rng, bsz=8)
+    feature = jnp.stack([x1, x2])
+    nl, al = jnp.stack([nlab, nlab]), jnp.stack([alab, alab])
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+
+    model, state1 = tiny_state(dropout_rate=0.0, randomize=True)
+    state1, loss1 = make_train_step(microbatched=True)(
+        state1, feature, nl, al, keys
+    )
+
+    mesh = local_mesh()
+    model, state2 = tiny_state(dropout_rate=0.0, randomize=True)
+    sharded = make_train_step(mesh, microbatched=True)
+    state2, loss2 = sharded(state2, feature, nl, al, keys)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
