@@ -66,8 +66,15 @@ def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, mode: Any) -> None:
     keys = dotted.split(".")
     node = cfg
     for key in keys[:-1]:
-        if key not in node or not isinstance(node[key], dict):
-            if not allow_new and key not in node:
+        if key in node and not isinstance(node[key], dict):
+            # Hydra errors when an override path traverses a non-dict node;
+            # silently replacing e.g. an int with {} would clobber config
+            raise KeyError(
+                f"override path {dotted!r}: {key!r} holds a non-dict value "
+                f"({node[key]!r}) and cannot be traversed into"
+            )
+        if key not in node:
+            if not allow_new:
                 raise KeyError(
                     f"override path {dotted!r}: {key!r} not in config "
                     f"(use +{dotted}=... to add new keys)"
@@ -91,6 +98,22 @@ def _deep_set(cfg: Dict[str, Any], dotted: str, value: Any, mode: Any) -> None:
 
 # "no expected value" marker for ~key deletions without an =value part
 _UNSET = object()
+
+
+class _DeleteGroup:
+    """Marker for a ``~group[=choice]`` defaults-list deletion.
+
+    Hydra's delete grammar requires the ``=choice`` part, when given, to
+    match the choice actually being deleted (``~runner=mgfn`` errors if the
+    defaults list selects ``runner: default``); ``expected is None`` means
+    the bare ``~group`` form, which deletes unconditionally.
+    """
+
+    def __init__(self, expected: Optional[str]) -> None:
+        self.expected = expected
+
+    def __repr__(self) -> str:  # aids error messages / debugging
+        return f"~group={self.expected}" if self.expected else "~group"
 
 
 def _deep_del(cfg: Dict[str, Any], dotted: str, expected: Any = _UNSET) -> None:
@@ -131,7 +154,7 @@ def parse_value(raw: str) -> Any:
 
 def parse_overrides(
     args: Iterable[str], config_dir: Optional[str] = None
-) -> Tuple[Dict[str, str], List[Tuple[str, Any, bool]]]:
+) -> Tuple[Dict[str, Any], List[Tuple[str, Any, Any]]]:
     """Split CLI args into group selections and value overrides.
 
     Returns ``(group_choices, value_overrides)`` where value_overrides are
@@ -139,7 +162,8 @@ def parse_overrides(
     (plain set), ``True`` (``+`` — add a NEW key; errors if it exists, like
     Hydra), ``"++"`` (add-or-override), or ``"~"`` (delete; the value is the
     expected current value, or the ``_UNSET`` sentinel for bare ``~key``).
-    A deleted group appears in ``group_choices`` with choice ``None``.
+    A deleted group appears in ``group_choices`` as a :class:`_DeleteGroup`
+    carrying the expected choice (``None`` for bare ``~group``).
 
     A dot-free ``key=value`` is a group selection only when ``key`` names a
     config-group *directory* under ``config_dir``; otherwise it is a root
@@ -148,7 +172,7 @@ def parse_overrides(
     run.py:9-12). Without a ``config_dir`` every dot-free key is treated as
     a group selection (legacy behavior, kept for direct callers).
     """
-    groups: Dict[str, Optional[str]] = {}
+    groups: Dict[str, Any] = {}
     values: List[Tuple[str, Any, Any]] = []
     for arg in args:
         delete = arg.startswith("~")
@@ -188,9 +212,18 @@ def parse_overrides(
         else:
             is_group = not allow_new and not delete  # legacy direct callers
         if is_group:
-            # group selection (e.g. runner=mgfn) or deletion (~runner);
+            if plus == 2:
+                # Hydra rejects '++' on defaults-list groups; only value
+                # keys take the add-or-override prefix
+                raise ValueError(
+                    f"override {arg!r}: '++' cannot apply to config group "
+                    f"{key!r} (use {key}={raw} to re-select or "
+                    f"+{key}={raw} to add it)"
+                )
+            # group selection (e.g. runner=mgfn) or deletion (~runner /
+            # ~runner=choice, the latter requiring the choice to match);
             # resolved against config dir
-            groups[key] = None if delete else str(raw)
+            groups[key] = _DeleteGroup(raw) if delete else str(raw)
         else:
             if delete:
                 mode: Any = "~"
@@ -281,8 +314,18 @@ def compose(
             group, choice = entry, "default"
         else:
             (group, choice), = entry.items()
-        choice = group_over.pop(group, choice)
-        if choice in (None, "null", "none"):  # null selection or ~group
+        selected = group_over.pop(group, choice)
+        if isinstance(selected, _DeleteGroup):  # ~group / ~group=choice
+            if selected.expected is not None and str(selected.expected) != str(
+                choice
+            ):
+                raise ValueError(
+                    f"cannot delete config group {group!r}: selected choice "
+                    f"is {choice!r}, not {selected.expected!r}"
+                )
+            continue
+        choice = selected
+        if choice in (None, "null", "none"):  # null selection
             continue
         choices[group] = choice
         _set_group(cfg, group, _load_group(config_dir, group, str(choice)))
@@ -291,7 +334,7 @@ def compose(
 
     # group selections not present in the defaults list are still honored
     for group, choice in group_over.items():
-        if choice is None:
+        if isinstance(choice, _DeleteGroup):
             raise ValueError(
                 f"cannot delete config group {group!r}: "
                 "not in the defaults list"
@@ -402,7 +445,11 @@ def resolve_interpolations(cfg: Dict[str, Any]) -> Dict[str, Any]:
                         f"interpolation ${{{match.group(1).strip()}}} is a "
                         f"container; it cannot be embedded in a string"
                     )
-                return "" if result is None else str(result)
+                text = "" if result is None else str(result)
+                # OmegaConf does not re-interpolate substitution output: a
+                # referenced value containing a literal '${' (e.g. from an
+                # escaped '\\${') must survive as text, not be re-scanned
+                return text.replace("${", _ESCAPED_INTERP)
 
             new = _INTERP.sub(sub, text)
             if new == text:  # leftover "${" with no parseable body: literal

@@ -344,8 +344,12 @@ def main(argv=None) -> None:
         eval_batch_videos=int(trainer_cfg.get("eval_batch_videos", 8)),
         precision=str(trainer_cfg.get("precision", "32-true")),
         grad_clip=trainer_cfg.get("gradient_clip_val"),
-        accumulate_grad_batches=int(
-            trainer_cfg.get("accumulate_grad_batches") or 1
+        accumulate_grad_batches=(
+            # None-check, not `or`: an explicit 0/false must reach the
+            # runner's >=1 validation instead of being coerced to 1
+            1
+            if trainer_cfg.get("accumulate_grad_batches") is None
+            else int(trainer_cfg["accumulate_grad_batches"])
         ),
     )
 

@@ -203,6 +203,69 @@ def test_interpolation_choices_and_now_resolvers(tree):
     assert len(year) == 4 and year.isdigit()
 
 
+def test_tilde_group_with_choice_must_match(tree):
+    """Hydra's '~group=choice' delete grammar requires the choice to match
+    the one actually selected in the defaults list (like '~key=value' does
+    for values)."""
+    cfg = compose(tree, "default", ["~data=base"])  # matches defaults
+    assert "data" not in cfg
+    with pytest.raises(ValueError, match="selected choice"):
+        compose(tree, "default", ["~data=alt"])  # defaults select 'base'
+    # deleting a real group that is not in the defaults list errors
+    write(tree, "extra_del/only.yaml", "k: 1\n")
+    with pytest.raises(ValueError, match="not in the defaults list"):
+        compose(tree, "default", ["~extra_del=only"])
+    # '~notagroup=...' (no such group dir) is a value delete and errors too
+    with pytest.raises(KeyError, match="not in config"):
+        compose(tree, "default", ["~nope=base"])
+
+
+def test_plusplus_on_group_errors(tree):
+    """Hydra rejects '++' on defaults-list groups — only value keys take the
+    add-or-override prefix."""
+    with pytest.raises(ValueError, match="config group"):
+        compose(tree, "default", ["++data=alt"])
+
+
+def test_override_through_non_dict_node_errors(tree):
+    """Traversing a non-dict intermediate must error, not clobber it with {}
+    ('++data.batch_size.x=1' previously replaced the int batch_size)."""
+    with pytest.raises(KeyError, match="non-dict"):
+        compose(tree, "default", ["++data.batch_size.x=1"])
+    with pytest.raises(KeyError, match="non-dict"):
+        compose(tree, "default", ["+data.batch_size.x=1"])
+    assert compose(tree, "default", [])["data"]["batch_size"] == 16
+
+
+def test_plus_group_not_in_defaults_composes(tree):
+    """'+group=choice' for a group absent from the defaults list adds it
+    (Hydra's append-a-group form)."""
+    write(tree, "extra_group/only.yaml", "knob: 3\n")
+    cfg = compose(tree, "default", ["+extra_group=only"])
+    assert cfg["extra_group"]["knob"] == 3
+    assert cfg["_choices_"]["extra_group"] == "only"
+
+
+def test_interpolation_referencing_deleted_key_errors_cleanly(tree):
+    """An interpolation pointing at a '~'-deleted key must raise the normal
+    does-not-resolve error, not KeyError/traceback."""
+    with pytest.raises(ValueError, match="does not resolve"):
+        compose(tree, "default", ["~data.path", "+x=${data.path}"])
+    with pytest.raises(ValueError, match="does not resolve"):
+        compose(tree, "default", ["~data", "+x=${data.batch_size}"])
+
+
+def test_substituted_results_are_not_reinterpolated(tree):
+    """OmegaConf does not re-interpolate substitution output: a referenced
+    value holding a literal '${' (via the \\${ escape) embeds as text."""
+    write(tree, "data/esc.yaml",
+          "batch_size: 8\npath: /a\n"
+          'raw: "\\\\${HOME}"\nlabel: "pre-${data.raw}-post"\n')
+    cfg = compose(tree, "default", ["data=esc"])
+    assert cfg["data"]["raw"] == "${HOME}"
+    assert cfg["data"]["label"] == "pre-${HOME}-post"
+
+
 def test_interpolation_errors_are_clean(tree):
     with pytest.raises(ValueError, match="does not resolve"):
         compose(tree, "default", ["+x=${no.such.key}"])
