@@ -72,6 +72,12 @@ def load_weights(path: str | None, model_name: str, flag: str = "--weights"):
             file=sys.stderr,
         )
         return None
+
+    from anomaly_detection_on_video_tpu.utils.hub import resolve_weights
+
+    # hf://org/repo/file specs download via the HF cache (the reference's
+    # automatic weight fetch, src/i3d.py:354-359); local paths pass through
+    path = resolve_weights(path)
     if path.endswith(".msgpack"):
         from anomaly_detection_on_video_tpu.utils.serialization import load_variables
 
@@ -163,8 +169,25 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.multihost and args.hf_dataset:
         parser.error("--multihost supports --videos local mode only")
-    if args.weights and not os.path.isfile(args.weights):
-        parser.error(f"--weights {args.weights!r}: no such file")
+    from anomaly_detection_on_video_tpu.utils.hub import (
+        default_weight_spec,
+        is_hub_spec,
+    )
+
+    if args.weights and not is_hub_spec(args.weights) and not os.path.isfile(
+        args.weights
+    ):
+        parser.error(f"--weights {args.weights!r}: no such file (or use "
+                     "hf://org/repo/file to fetch from the HF hub)")
+    if args.hf_dataset and args.weights is None:
+        # network mode with no --weights mirrors the reference's automatic
+        # weight download (src/i3d.py:354-359) instead of random init
+        try:
+            args.weights = default_weight_spec(args.model)
+            print(f"--weights not given; defaulting to {args.weights} "
+                  "(reference network-mode flow)", file=sys.stderr)
+        except ValueError:
+            pass  # unknown model name: keep the random-init warning path
     if args.batch < 1:
         parser.error(f"--batch must be >= 1 (got {args.batch})")
     if args.flow_backend and args.stream == "rgb":
@@ -222,7 +245,10 @@ def main(argv=None) -> None:
 
     # load once: --stream both builds two extractors (the flow stream's
     # 2-channel stem bootstraps from the same RGB tree in FeatureExtractor)
-    weight_variables = load_weights(args.weights, args.model)
+    try:
+        weight_variables = load_weights(args.weights, args.model)
+    except FileNotFoundError as exc:
+        raise SystemExit(str(exc))  # hub fetch failed: user error, not a traceback
 
     def make_extractor(stream):
         return FeatureExtractor(

@@ -105,13 +105,28 @@ def build_scorer(args):
         raise SystemExit(
             f"--checkpoint {args.checkpoint!r}: no such directory"
         )
-    if args.torch_weights and not os.path.isfile(args.torch_weights):
+    from anomaly_detection_on_video_tpu.utils.hub import (
+        is_hub_spec,
+        resolve_weights,
+    )
+
+    # hf://org/repo/file specs resolve through the HF cache (the
+    # reference's automatic weight fetch, src/i3d.py:354-359)
+    if args.torch_weights and not is_hub_spec(args.torch_weights) and not (
+        os.path.isfile(args.torch_weights)
+    ):
         raise SystemExit(
-            f"--torch-weights {args.torch_weights!r}: no such file"
+            f"--torch-weights {args.torch_weights!r}: no such file "
+            "(or use hf://org/repo/file)"
         )
     i3d_weights = getattr(args, "i3d_weights", None)
-    if i3d_weights and not os.path.isfile(i3d_weights):
-        raise SystemExit(f"--i3d-weights {i3d_weights!r}: no such file")
+    if i3d_weights and not is_hub_spec(i3d_weights) and not os.path.isfile(
+        i3d_weights
+    ):
+        raise SystemExit(
+            f"--i3d-weights {i3d_weights!r}: no such file "
+            "(or use hf://org/repo/file)"
+        )
 
     overrides = {}
     for kv in args.model_config or []:
@@ -151,7 +166,9 @@ def build_scorer(args):
             convert_sultani_state_dict,
         )
 
-        state_dict = torch.load(args.torch_weights, map_location="cpu")
+        state_dict = torch.load(
+            resolve_weights(args.torch_weights), map_location="cpu"
+        )
         if isinstance(state_dict, dict) and "state_dict" in state_dict:
             state_dict = state_dict["state_dict"]
         if model_name == "rtfm":

@@ -10,10 +10,14 @@ for the day network (or the downloaded files) exists:
 
     python scripts/parity_check.py \
         --videos /data/ucf_crime_sample \
-        --i3d-weights converted_ref_i3d.pt \
+        --i3d-weights hf://jinmang2/test_video_fe/converted_ref_i3d.pt \
         --mgfn-weights mgfn_hf.pt \
         --test-features /data/features/test --gt ground_truth.json \
         --out parity_report.json
+
+(``--i3d-weights``/``--mgfn-weights`` take local paths or ``hf://`` hub
+specs — the latter download via the HF cache, mirroring the reference's
+automatic weight fetch, src/i3d.py:354-359.)
 
 It emits a JSON report with
 - per-stage max-abs-diff of the I3D forward (stem, stage1-4, pooled
@@ -392,15 +396,22 @@ def main(argv=None):
     import torch
 
     report = {}
+    from anomaly_detection_on_video_tpu.utils.hub import resolve_weights
+
     mgfn_sd = None
     mgfn_over = json.loads(args.mgfn_config) if args.mgfn_config else None
     if args.mgfn_weights:
-        mgfn_sd = torch.load(args.mgfn_weights, map_location="cpu")
+        # hf://org/repo/file fetches via the HF cache (src/i3d.py:354-359)
+        mgfn_sd = torch.load(
+            resolve_weights(args.mgfn_weights), map_location="cpu"
+        )
         if isinstance(mgfn_sd, dict) and "state_dict" in mgfn_sd:
             mgfn_sd = mgfn_sd["state_dict"]
 
     if args.videos and args.i3d_weights:
-        i3d_sd = torch.load(args.i3d_weights, map_location="cpu")
+        i3d_sd = torch.load(
+            resolve_weights(args.i3d_weights), map_location="cpu"
+        )
         if isinstance(i3d_sd, dict) and "model_state" in i3d_sd:
             i3d_sd = i3d_sd["model_state"]
         videos = find_videos(args.videos)[: args.max_videos]
