@@ -31,6 +31,7 @@ import optax
 from flax import struct
 
 from ..data import eval_batches, train_batches
+from ..data.prefetch import prefetch
 from ..ops.metrics import frame_level_scores, pr_auc, roc_auc
 from .optim import adam_with_l2
 
@@ -805,6 +806,7 @@ class VideoAnomalyDetectionRunner:
         # consumes `accumulate` loader batches (short trailing group
         # included), so the epoch length in optimizer steps rounds up.
         accumulate = self.accumulate_grad_batches
+        num_workers = int(self.data_cfg.get("num_workers", 8) or 0)
         loader_batches = min(len(normal), len(abnormal)) // batch_size
         steps_per_epoch = -(-loader_batches // accumulate)
         start_epoch = step // steps_per_epoch if steps_per_epoch else 0
@@ -826,7 +828,14 @@ class VideoAnomalyDetectionRunner:
                 seed=self.seed,
                 epoch=epoch,
             )
-            for group in _grouped(batch_iter, accumulate):
+            group_iter = _grouped(batch_iter, accumulate)
+            if num_workers > 0:
+                # double-buffer host batch assembly behind device compute
+                # (the reference's DataLoader num_workers overlap,
+                # configs/data/default.yaml:3; 0 = synchronous, torch
+                # semantics). Order-preserving, so pipelined == serial.
+                group_iter = prefetch(group_iter, depth=2)
+            for group in group_iter:
                 if self.state is None:
                     self.init_state(group[0]["feature"])
                 rng, step_rng = jax.random.split(rng)

@@ -95,8 +95,8 @@ def test_root_scalar_override_on_repo_configs():
 
 def test_reference_num_workers_override_composes():
     """`data.num_workers=N` from a copy-pasted reference command must
-    compose (reference: configs/data/default.yaml:3). The value is an
-    accepted no-op here — there are no DataLoader worker processes."""
+    compose (reference: configs/data/default.yaml:3). N >= 1 enables the
+    background batch-prefetch thread; 0 is synchronous (torch spirit)."""
     repo_configs = os.path.join(os.path.dirname(__file__), "..", "configs")
     cfg = compose(repo_configs, "default", ["runner=mgfn", "data.num_workers=4"])
     assert cfg["data"]["num_workers"] == 4

@@ -809,3 +809,80 @@ def test_grad_accumulation_sharded_matches_single(rng):
         jax.tree_util.tree_leaves(state2.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_prefetch_order_errors_and_abandon():
+    """data/prefetch.py unit behavior: order-preserving, exception
+    propagation, and clean worker shutdown when the consumer breaks
+    (the preemption-stop path in runner.fit)."""
+    import threading
+
+    from anomaly_detection_on_video_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(50)), depth=2)) == list(range(50))
+    assert list(prefetch([], depth=1)) == []
+    with pytest.raises(ValueError, match="depth"):
+        next(prefetch([1], depth=0))
+
+    def boom():
+        yield 1
+        raise RuntimeError("loader died")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="loader died"):
+        next(it)
+
+    before = threading.active_count()
+    it = prefetch(iter(range(10_000)), depth=1)
+    assert next(it) == 0
+    it.close()  # abandoning must stop the worker thread
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+
+        time.sleep(0.01)
+        deadline -= 1
+    assert threading.active_count() <= before
+
+
+def test_prefetch_pipelined_equals_serial(rng):
+    """num_workers>=1 (background double-buffer) must train bit-identically
+    to num_workers=0 (synchronous): the prefetch thread only reorders
+    host/device overlap, never batches."""
+    config, model = build_model("mgfn", **TINY)
+
+    def datasets():
+        normal = FeatureDataset(
+            filenames=[f"Normal_{i}_i3d.npy" for i in range(4)],
+            _arrays={
+                f"Normal_{i}_i3d.npy": rng2.randn(10, 8, FDIM - 1).astype(
+                    np.float32
+                )
+                for i in range(4)
+            },
+        )
+        abnormal = FeatureDataset(
+            filenames=[f"Abuse_{i}_i3d.npy" for i in range(4)],
+            _arrays={
+                f"Abuse_{i}_i3d.npy": rng2.randn(10, 8, FDIM - 1).astype(
+                    np.float32
+                )
+                for i in range(4)
+            },
+        )
+        return {"normal": normal, "abnormal": abnormal}
+
+    finals = []
+    for workers in (0, 2):
+        rng2 = np.random.RandomState(7)
+        runner = VideoAnomalyDetectionRunner(
+            model, data_cfg={"num_workers": workers}, seed=3
+        )
+        runner.fit(
+            datasets(), valid_dataset=None, max_epochs=2, batch_size=2,
+            shuffle=True,
+        )
+        finals.append(jax.tree_util.tree_leaves(runner.state.params))
+    for a, b in zip(*finals):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
