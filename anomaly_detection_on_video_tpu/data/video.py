@@ -16,6 +16,7 @@ next chunk, the host half of the double-buffered host->device pipeline
 
 from __future__ import annotations
 
+import hashlib
 import os
 import queue
 import threading
@@ -32,10 +33,39 @@ CHUNK_FRAMES = 16 * 188  # 3,008 (reference: extract_features.py:122)
 LARGE_VIDEO_KB = 1024 ** 2  # 1 GB in KB (reference: extract_features.py:116)
 
 
+def _decord_frames(path: str, start: int, count: Optional[int]) -> np.ndarray:
+    """Reference-exact decode: decord.VideoReader + sequential indexing
+    (src/dataset.py:154-159, extract_features.py:123-140 access ``vr[i]``
+    in order — RGB already, no colorspace convert). Optional: decord is
+    not part of this image; when installed it reproduces the byte stream
+    the published feature zips were extracted from."""
+    import decord  # optional dependency; import error surfaces to caller
+
+    vr = decord.VideoReader(uri=path)
+    stop = len(vr) if count is None else min(len(vr), start + count)
+    frames = [np.asarray(vr[i].asnumpy()) for i in range(start, stop)]
+    if not frames:
+        raise ValueError(f"no frames decoded from {path!r} at start={start}")
+    return np.stack(frames)
+
+
 def decode_video_frames(
-    path: str, start: int = 0, count: Optional[int] = None
+    path: str,
+    start: int = 0,
+    count: Optional[int] = None,
+    backend: str = "cv2",
 ) -> np.ndarray:
-    """Decode frames [start, start+count) to RGB uint8 (N, H, W, 3)."""
+    """Decode frames [start, start+count) to RGB uint8 (N, H, W, 3).
+
+    backend "cv2" (default) is this framework's production decoder;
+    "decord" is the reference's (src/dataset.py:154-159) and requires the
+    optional decord package — use it to attribute feature diffs to decode
+    vs model (see scripts/parity_check.py --decode-backend).
+    """
+    if backend == "decord":
+        return _decord_frames(path, start, count)
+    if backend != "cv2":
+        raise ValueError(f"unknown decode backend {backend!r}")
     if cv2 is None:
         raise RuntimeError("OpenCV is required for video decode")
     cap = cv2.VideoCapture(path)
@@ -53,6 +83,86 @@ def decode_video_frames(
     if not frames:
         raise ValueError(f"no frames decoded from {path!r} at start={start}")
     return np.stack(frames)
+
+
+def decode_provenance(
+    path: str,
+    backend: str = "cv2",
+    chunk_frames: int = CHUNK_FRAMES,
+    max_frames: Optional[int] = None,
+) -> dict:
+    """Decode fingerprint: frame counts + per-chunk RGB checksums.
+
+    The reference decodes with decord; this framework decodes with
+    cv2/FFmpeg. A drift between the two (seek behavior, frame counts,
+    colorspace rounding) would surface as a feature diff that the model
+    parity harness cannot attribute — this fingerprint pins the decode
+    axis. Two provenance reports whose ``chunk_sha256`` lists match decoded
+    byte-identically; a mismatch names the first divergent chunk.
+
+    Returns {backend, container_frame_count, decoded_frame_count, fps,
+    frame_shape, chunk_frames, chunk_sha256: [hex, ...], sha256: hex}.
+    """
+    meta: dict = {"backend": backend, "chunk_frames": int(chunk_frames)}
+    if backend == "cv2":
+        cap = cv2.VideoCapture(path)
+        try:
+            meta["container_frame_count"] = int(
+                cap.get(cv2.CAP_PROP_FRAME_COUNT)
+            )
+            meta["fps"] = float(cap.get(cv2.CAP_PROP_FPS))
+        finally:
+            cap.release()
+    elif backend == "decord":
+        import decord
+
+        vr = decord.VideoReader(uri=path)
+        meta["container_frame_count"] = len(vr)
+        meta["fps"] = float(getattr(vr, "get_avg_fps", lambda: 0.0)())
+    else:
+        raise ValueError(f"unknown decode backend {backend!r}")
+
+    # stream sequentially (no seeks) — the same access pattern as the
+    # production pipeline (iter_decoded_chunks) and the reference's
+    # sequential vr[i] loop, so the fingerprint measures decode output,
+    # not seek behavior
+    if backend == "cv2":
+        chunk_iter = iter_decoded_chunks(path, chunk_frames)
+    else:
+
+        def _decord_iter():
+            import decord
+
+            vr = decord.VideoReader(uri=path)
+            for lo in range(0, len(vr), chunk_frames):
+                hi = min(lo + chunk_frames, len(vr))
+                yield np.stack(
+                    [np.asarray(vr[i].asnumpy()) for i in range(lo, hi)]
+                )
+
+        chunk_iter = _decord_iter()
+
+    total = hashlib.sha256()
+    chunks = []
+    decoded = 0
+    shape = None
+    for chunk in chunk_iter:
+        if max_frames is not None and decoded + len(chunk) > max_frames:
+            chunk = chunk[: max_frames - decoded]
+        if not len(chunk):
+            break
+        shape = tuple(chunk.shape[1:])
+        data = np.ascontiguousarray(chunk).tobytes()
+        chunks.append(hashlib.sha256(data).hexdigest())
+        total.update(data)
+        decoded += len(chunk)
+        if max_frames is not None and decoded >= max_frames:
+            break
+    meta["decoded_frame_count"] = decoded
+    meta["frame_shape"] = list(shape) if shape else None
+    meta["chunk_sha256"] = chunks
+    meta["sha256"] = total.hexdigest()
+    return meta
 
 
 def video_num_frames(path: str) -> int:

@@ -29,7 +29,15 @@ It emits a JSON report with
 - MGFN clip-score max-abs-diff on those features (oracle: behavioral spec
   of src/models/mgfn/modeling_mgfn.py);
 - an AUC summary over a feature directory + GT json, scored by BOTH
-  implementations (reference eval semantics: src/runner.py:62-79).
+  implementations (reference eval semantics: src/runner.py:62-79);
+- a decode provenance fingerprint per video (frame counts + per-chunk
+  RGB checksums, data/video.py:decode_provenance). The reference decodes
+  with decord (src/dataset.py:154-159); this framework with cv2/FFmpeg —
+  byte-compat with the *published* feature zips rides on the two decoders
+  agreeing, and ``--decode-backend both`` (with decord installed)
+  measures exactly that, naming the first divergent chunk when they
+  don't. Without decord, the cv2 fingerprint still pins this repo's
+  decode so any future diff can be bisected to decode vs model.
 
 The plumbing is tested offline with oracle-generated weights
 (tests/test_parity_check.py), so only the artifacts themselves are missing.
@@ -60,11 +68,45 @@ def find_videos(spec):
     return _find(spec)
 
 
-def decode_frames(path, max_frames):
+def decode_frames(path, max_frames, backend="cv2"):
     from anomaly_detection_on_video_tpu.data.video import decode_video_frames
 
-    frames = decode_video_frames(path)
+    frames = decode_video_frames(path, backend=backend)
     return frames[:max_frames]
+
+
+def decode_provenance_report(path, max_frames, backend="cv2"):
+    """Decode fingerprint(s) so a real-features diff is attributable to
+    decode vs model (the reference decodes with decord,
+    src/dataset.py:154-159; this framework with cv2/FFmpeg —
+    data/video.py:decode_provenance). ``backend='both'`` fingerprints both
+    decoders and names the first divergent chunk, pinning any drift (seek
+    behavior, frame counts, colorspace rounding) to the decode axis."""
+    from anomaly_detection_on_video_tpu.data.video import decode_provenance
+
+    backends = ["cv2", "decord"] if backend == "both" else [backend]
+    report = {}
+    for b in backends:
+        try:
+            report[b] = decode_provenance(path, backend=b, max_frames=max_frames)
+        except ImportError:
+            report[b] = {
+                "error": "decord is not installed — install it to "
+                "fingerprint the reference's decoder"
+            }
+    if backend == "both" and all("chunk_sha256" in r for r in report.values()):
+        a, b = report["cv2"]["chunk_sha256"], report["decord"]["chunk_sha256"]
+        report["match"] = a == b and (
+            report["cv2"]["decoded_frame_count"]
+            == report["decord"]["decoded_frame_count"]
+        )
+        if not report["match"]:
+            diverge = next(
+                (i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                min(len(a), len(b)),
+            )
+            report["first_divergent_chunk"] = diverge
+    return report
 
 
 def hf_to_oracle_state_dict(hf_state_dict):
@@ -360,6 +402,13 @@ def main(argv=None):
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"],
                         help="float64 reproduces the 1e-10 oracle-test regime")
+    parser.add_argument("--decode-backend", default="cv2",
+                        choices=["cv2", "decord", "both"],
+                        help="decoder for the I3D parity frames; 'both' "
+                             "fingerprints cv2 AND decord (the reference's "
+                             "decoder, src/dataset.py:154-159) per chunk so "
+                             "a feature diff is attributable to decode vs "
+                             "model (decord must be installed)")
     parser.add_argument("--max-videos", type=int, default=2)
     parser.add_argument("--max-frames", type=int, default=128)
     parser.add_argument("--max-clips", type=int, default=2)
@@ -418,8 +467,18 @@ def main(argv=None):
         if not videos:
             raise SystemExit(f"no videos match {args.videos!r}")
         report["i3d"] = {}
+        # frames for the model-parity probes come from the production
+        # decoder unless --decode-backend=decord asks for the reference's
+        probe_backend = (
+            "decord" if args.decode_backend == "decord" else "cv2"
+        )
         for path in videos:
-            frames = decode_frames(path, args.max_frames)
+            report.setdefault("decode", {})[
+                os.path.basename(path)
+            ] = decode_provenance_report(
+                path, args.max_frames, args.decode_backend
+            )
+            frames = decode_frames(path, args.max_frames, probe_backend)
             stage_rep, torch_feats = i3d_stage_parity(
                 frames, i3d_sd, args.dtype, args.max_clips
             )
