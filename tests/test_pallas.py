@@ -163,3 +163,21 @@ def test_fused_i3res50_forward_matches_unfused(rng):
     ref = base.apply(variables, x)
     got = fused.apply(variables, x)  # same tree, fused execution
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_int8_pallas_conv_matches_lax_exactly():
+    """scripts/int8_pallas_probe.py's int8 3x3 conv kernel (the stage-2
+    int8 lever, ROOFLINE.md) is exact integer arithmetic vs lax conv."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import int8_pallas_probe
+
+    assert int8_pallas_probe.verify_kernel_correctness(n_rows=2)
