@@ -808,6 +808,18 @@ class VideoAnomalyDetectionRunner:
         accumulate = self.accumulate_grad_batches
         num_workers = int(self.data_cfg.get("num_workers", 8) or 0)
         loader_batches = min(len(normal), len(abnormal)) // batch_size
+        if loader_batches == 0:
+            # the drop_last dual loader would yield NOTHING: every epoch
+            # would be a silent no-op (nan epoch losses, state never
+            # initialized, eval crashing on state=None) — name the
+            # misconfiguration instead
+            raise ValueError(
+                f"batch_size={batch_size} exceeds the training data: "
+                f"{len(normal)} normal / {len(abnormal)} abnormal videos "
+                "yield zero batches under the drop-last dual loader "
+                "(reference src/dataset.py pairing); lower "
+                "data.batch_size or add videos"
+            )
         steps_per_epoch = -(-loader_batches // accumulate)
         start_epoch = step // steps_per_epoch if steps_per_epoch else 0
         # per-step metric cadence (reference trainer knob

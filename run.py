@@ -470,31 +470,36 @@ def main(argv=None) -> None:
         runner.restore(restored)
         print(f"resumed from step {int(runner.state.step)}")
 
-    result = runner.fit(
-        train_datasets,
-        valid_dataset=valid_dataset,
-        max_epochs=int(trainer_cfg.get("max_epochs", 1000)),
-        max_steps=(
-            -1 if trainer_cfg.get("max_steps") is None
-            else int(trainer_cfg["max_steps"])
-        ),
-        log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
-        checkpoint_every_n_epochs=int(
-            trainer_cfg.get("checkpoint", {}).get("every_n_epochs", 1) or 1
-        ),
-        batch_size=int(data_cfg.get("batch_size", 16)),
-        shuffle=bool(data_cfg.get("shuffle", False)),
-        eval_every=int(trainer_cfg.get("eval_every", 1)),
-        frames_per_clip=int(data_cfg.get("frames_per_clip", 16)),
-        figure_dir=trainer_cfg.get("figure_dir") if is_primary else None,
-        # a scalar override (trainer.preempt_signals=SIGTERM) parses as a
-        # string; tuple() would split it into characters
-        handle_signals=(
-            (trainer_cfg["preempt_signals"],)
-            if isinstance(trainer_cfg.get("preempt_signals"), str)
-            else tuple(trainer_cfg.get("preempt_signals") or ())
-        ),
-    )
+    try:
+        result = runner.fit(
+            train_datasets,
+            valid_dataset=valid_dataset,
+            max_epochs=int(trainer_cfg.get("max_epochs", 1000)),
+            max_steps=(
+                -1 if trainer_cfg.get("max_steps") is None
+                else int(trainer_cfg["max_steps"])
+            ),
+            log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
+            checkpoint_every_n_epochs=int(
+                trainer_cfg.get("checkpoint", {}).get("every_n_epochs", 1) or 1
+            ),
+            batch_size=int(data_cfg.get("batch_size", 16)),
+            shuffle=bool(data_cfg.get("shuffle", False)),
+            eval_every=int(trainer_cfg.get("eval_every", 1)),
+            frames_per_clip=int(data_cfg.get("frames_per_clip", 16)),
+            figure_dir=trainer_cfg.get("figure_dir") if is_primary else None,
+            # a scalar override (trainer.preempt_signals=SIGTERM) parses as
+            # a string; tuple() would split it into characters
+            handle_signals=(
+                (trainer_cfg["preempt_signals"],)
+                if isinstance(trainer_cfg.get("preempt_signals"), str)
+                else tuple(trainer_cfg.get("preempt_signals") or ())
+            ),
+        )
+    except ValueError as exc:
+        # e.g. batch_size exceeding the dataset: a config mistake should
+        # read like a CLI error, not a traceback
+        raise SystemExit(f"data error: {exc}")
     if result is not None and is_primary:
         print(f"final valid/rec_auc={result.rec_auc:.4f} valid/pr_auc={result.pr_auc:.4f}")
 

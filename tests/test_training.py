@@ -886,3 +886,28 @@ def test_prefetch_pipelined_equals_serial(rng):
         finals.append(jax.tree_util.tree_leaves(runner.state.params))
     for a, b in zip(*finals):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_size_exceeding_dataset_is_clean_error(rng):
+    """A batch_size larger than the smaller class used to spin max_epochs
+    no-op epochs (nan losses, state never initialized) and crash in the
+    final evaluate; it must raise a clean ValueError naming the sizes."""
+    config, model = build_model("mgfn", **TINY)
+    arrays = {
+        f"{p}_{i}_i3d.npy": rng.randn(10, 8, FDIM - 1).astype(np.float32)
+        for p in ("Normal", "Abuse")
+        for i in range(2)
+    }
+    datasets = {
+        "normal": FeatureDataset(
+            filenames=[f"Normal_{i}_i3d.npy" for i in range(2)],
+            _arrays=arrays,
+        ),
+        "abnormal": FeatureDataset(
+            filenames=[f"Abuse_{i}_i3d.npy" for i in range(2)],
+            _arrays=arrays,
+        ),
+    }
+    runner = VideoAnomalyDetectionRunner(model, seed=0)
+    with pytest.raises(ValueError, match="batch_size=4 exceeds"):
+        runner.fit(datasets, valid_dataset=None, max_epochs=1, batch_size=4)
