@@ -90,7 +90,13 @@ def train_scorer(seg_features: dict, steps: int, seed: int = 0):
         feature[:2],
         train=True,
     )
-    state = TrainState.create(model, variables, adam_with_l2())
+    # lr 3e-5 + clip 1.0: the reference's 1e-3 (and even 3e-4) diverges to
+    # nan within steps on these random-I3D features (the margin-200
+    # magnitude-contrastive term explodes); 3e-5 converges smoothly
+    # (sweep: /tmp-int8 debug, loss 0.8 -> 0.05-0.09 in 40 steps)
+    state = TrainState.create(
+        model, variables, adam_with_l2(learning_rate=3e-5, grad_clip=1.0)
+    )
     step = make_train_step()
     normal_l = jnp.zeros(bags)
     abnormal_l = jnp.ones(bags)
@@ -98,8 +104,13 @@ def train_scorer(seg_features: dict, steps: int, seed: int = 0):
     loss = None
     for i in range(steps):
         state, loss = step(state, feature, normal_l, abnormal_l, keys[i])
-    print(f"trained {steps} steps, final loss {float(loss):.4f}",
-          file=sys.stderr)
+    final = float(loss)
+    print(f"trained {steps} steps, final loss {final:.4f}", file=sys.stderr)
+    if not np.isfinite(final):
+        raise SystemExit(
+            "scorer training diverged (nan loss) — score deltas would be "
+            "meaningless; lower the lr in train_scorer"
+        )
     return state
 
 
