@@ -387,6 +387,13 @@ def evaluate(
         buckets.setdefault(eval_bucket(n_clips), []).append(batch)
         order.append((batch["filename"], np.asarray(batch["label"]).ravel()))
 
+    # two passes: dispatch every group first (jit is async — the device
+    # chews batch N+1 while the host assembles N+2), then materialize.
+    # A single materialize pass instead of a per-group np.asarray keeps the
+    # host from serializing on each group's readback (through the axon
+    # tunnel a readback is a ~350 ms RTT; on real hosts it still stalls
+    # the assembly loop). Scores are bit-identical either way.
+    pending = []
     for bucket, items in buckets.items():
         for start in range(0, len(items), batch_videos):
             group = items[start : start + batch_videos]
@@ -405,9 +412,11 @@ def evaluate(
                 state.variables, state.apply_fn,
                 jnp.asarray(feats), jnp.asarray(lengths),
             )
-            scores = np.asarray(scores)  # (n_group, bucket, 1)
-            for k, item in enumerate(group):
-                per_video[item["filename"]] = scores[k, : lengths[k], 0]
+            pending.append((group, lengths, scores))
+    for group, lengths, scores in pending:
+        scores = np.asarray(scores)  # (n_group, bucket, 1)
+        for k, item in enumerate(group):
+            per_video[item["filename"]] = scores[k, : lengths[k], 0]
 
     all_preds, all_labels = [], []
     videos: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
