@@ -216,22 +216,33 @@ def bench_train_step(
         feature[:2],
         train=True,
     )
-    state = TrainState.create(model, variables, adam_with_l2())
+    # lr 1e-5, not the reference 1e-3: MGFN on random features diverges to
+    # nan within ~20 steps at 1e-3 (margin-200 magnitude loss; same
+    # finding as scripts/int8_e2e.py) and the finite-loss health check
+    # below would trip. Step TIME is lr-independent (identical graph).
+    state = TrainState.create(model, variables, adam_with_l2(1e-5))
     step = make_train_step(precision=precision)
     normal = jnp.zeros(bags)
     abnormal = jnp.ones(bags)
-    keys = jax.random.split(jax.random.PRNGKey(2), steps + 3)
+    keys = jax.random.split(jax.random.PRNGKey(2), 2 * steps + 3)
     for i in range(3):  # compile + settle
         state, loss = step(state, feature, normal, abnormal, keys[i])
         float(loss)
-    t0 = time.time()
-    for i in range(steps):
-        state, loss = step(state, feature, normal, abnormal, keys[3 + i])
-    final = float(loss)
-    dt = time.time() - t0
+    # two timed passes, report the min: the tunneled host shows 1.5-2x
+    # run-to-run swings on identical programs (noisy 1-core VM), and the
+    # min is the honest device-time estimator under one-sided noise
+    best = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        for i in range(steps):
+            state, loss = step(
+                state, feature, normal, abnormal, keys[3 + rep * steps + i]
+            )
+        final = float(loss)
+        best = min(best, time.time() - t0)
     assert np.isfinite(final), f"non-finite training loss {final}"
     return {
-        "train_step_ms": round(dt / steps * 1000, 2),
+        "train_step_ms": round(best / steps * 1000, 2),
         "train_bags": 2 * bags,
     }, state
 
@@ -270,9 +281,11 @@ def bench_eval(
     kwargs = dict(eval_step=eval_step, batch_videos=batch_videos,
                   pad_groups=True)
     evaluate(state, dataset, **kwargs)  # compile the bucket shape
-    t0 = time.time()
-    result = evaluate(state, dataset, **kwargs)
-    wall = time.time() - t0
+    wall = float("inf")
+    for _ in range(2):  # min of 2: see bench_train_step's noise note
+        t0 = time.time()
+        result = evaluate(state, dataset, **kwargs)
+        wall = min(wall, time.time() - t0)
     assert 0.0 <= result.rec_auc <= 1.0
     return {
         "eval_clips_per_sec": round(n_videos * clips / wall, 2),
