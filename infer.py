@@ -581,6 +581,19 @@ def main(argv=None) -> None:
             f"--threshold must be in [0, 1] (got {args.threshold}; "
             "frame scores are sigmoid probabilities)"
         )
+    if args.threshold is not None and args.dtype == "int8":
+        # measured envelope (docs/ROOFLINE.md round 4): int8 preserves
+        # ranking (AUC delta < 0.03) but shifts individual frame scores by
+        # up to ~0.5 vs bf16 — an absolute cut tuned on bf16 scores can
+        # flip events under int8
+        print(
+            "warning: --threshold with --dtype int8: absolute thresholds "
+            "derived on bf16 scores may not transfer (frame scores shift "
+            "up to ~0.5; AUC is stable). Re-derive the operating point on "
+            "int8-scored data (scripts/operating_point.py); see "
+            "docs/ROOFLINE.md.",
+            file=sys.stderr,
+        )
 
     videos = find_videos(args.videos) if args.videos else []
     if not videos and not args.watch and args.serve is None and not args.export:

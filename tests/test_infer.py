@@ -312,3 +312,27 @@ def test_warn_duplicate_stems(capsys):
     assert "v2" not in err
 
     assert extract_features.warn_duplicate_stems(["a/v1.mp4", "b/v2.mp4"]) == {}
+
+
+def test_int8_threshold_envelope_warning(tmp_path):
+    """--threshold + --dtype int8 must print the operating-envelope warning
+    (docs/ROOFLINE.md round 4: bf16-derived absolute cuts do not transfer),
+    before any device work."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+        PYTHONPATH=REPO,
+    )
+    result = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "infer.py"),
+         "--videos", str(tmp_path),  # empty dir: exits "no videos match"
+         "--checkpoint", str(tmp_path),
+         "--outdir", str(tmp_path / "out"),
+         "--dtype", "int8", "--threshold", "0.5"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert "thresholds derived on bf16" in result.stderr.lower() or (
+        "may not transfer" in result.stderr
+    )
