@@ -105,6 +105,8 @@ def decode_provenance(
     """
     meta: dict = {"backend": backend, "chunk_frames": int(chunk_frames)}
     if backend == "cv2":
+        if cv2 is None:
+            raise RuntimeError("OpenCV is required for video decode")
         cap = cv2.VideoCapture(path)
         try:
             meta["container_frame_count"] = int(

@@ -63,6 +63,12 @@ class TrainState(struct.PyTreeNode):
 PRECISIONS = ("32-true", "bf16-mixed")
 
 
+class DataConfigError(ValueError):
+    """Pre-flight data/config validation failure (e.g. batch_size larger
+    than the dataset) — the CLI maps THIS type to a clean one-line error;
+    any other ValueError mid-training keeps its traceback."""
+
+
 def _grouped(iterable, size: int):
     """Yield lists of up to ``size`` consecutive items (last may be short)."""
     group = []
@@ -387,13 +393,23 @@ def evaluate(
         buckets.setdefault(eval_bucket(n_clips), []).append(batch)
         order.append((batch["filename"], np.asarray(batch["label"]).ravel()))
 
-    # two passes: dispatch every group first (jit is async — the device
-    # chews batch N+1 while the host assembles N+2), then materialize.
-    # A single materialize pass instead of a per-group np.asarray keeps the
-    # host from serializing on each group's readback (through the axon
-    # tunnel a readback is a ~350 ms RTT; on real hosts it still stalls
-    # the assembly loop). Scores are bit-identical either way.
+    # bounded dispatch pipeline: keep up to 2 score batches in flight (jit
+    # is async — the device chews batch N while the host assembles N+1)
+    # and materialize the oldest before dispatching further. Removing the
+    # per-group np.asarray from the assembly loop stops the host from
+    # serializing on every readback (through the axon tunnel a readback is
+    # a ~350 ms RTT; on real hosts it still stalls assembly), while the
+    # depth bound keeps device memory at ~2 group inputs instead of the
+    # whole test set (a 10-crop 700-clip-bucket group is ~0.5 GB of HBM).
+    # Scores are bit-identical to the serial order either way.
     pending = []
+
+    def materialize(entry):
+        group, lengths, scores = entry
+        scores = np.asarray(scores)  # (n_group, bucket, 1)
+        for k, item in enumerate(group):
+            per_video[item["filename"]] = scores[k, : lengths[k], 0]
+
     for bucket, items in buckets.items():
         for start in range(0, len(items), batch_videos):
             group = items[start : start + batch_videos]
@@ -413,10 +429,10 @@ def evaluate(
                 jnp.asarray(feats), jnp.asarray(lengths),
             )
             pending.append((group, lengths, scores))
-    for group, lengths, scores in pending:
-        scores = np.asarray(scores)  # (n_group, bucket, 1)
-        for k, item in enumerate(group):
-            per_video[item["filename"]] = scores[k, : lengths[k], 0]
+            if len(pending) > 2:
+                materialize(pending.pop(0))
+    for entry in pending:
+        materialize(entry)
 
     all_preds, all_labels = [], []
     videos: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
@@ -822,7 +838,7 @@ class VideoAnomalyDetectionRunner:
             # would be a silent no-op (nan epoch losses, state never
             # initialized, eval crashing on state=None) — name the
             # misconfiguration instead
-            raise ValueError(
+            raise DataConfigError(
                 f"batch_size={batch_size} exceeds the training data: "
                 f"{len(normal)} normal / {len(abnormal)} abnormal videos "
                 "yield zero batches under the drop-last dual loader "

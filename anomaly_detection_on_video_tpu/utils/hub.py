@@ -59,7 +59,10 @@ def parse_hub_spec(spec: str) -> Tuple[str, Optional[str], str]:
 
     Returns ``(repo_id, revision, filename)``; ``revision`` is ``None``
     when no ``@revision`` suffix is given. HF repo ids are two path
-    segments (``org/name``); everything after them is the in-repo filename.
+    segments (``org/name``); everything after them is the in-repo
+    filename. Limitation: revisions containing ``/`` (e.g. HF PR refs
+    like ``refs/pr/1``) cannot be expressed — the grammar cannot tell a
+    slashed revision from the filename; use the commit hash instead.
     """
     if not is_hub_spec(spec):
         raise ValueError(f"not an hf:// spec: {spec!r}")
@@ -98,8 +101,28 @@ def resolve_weights(
     repo_id, revision, filename = parse_hub_spec(spec)
 
     from huggingface_hub import hf_hub_download  # network path, optional
-    from huggingface_hub.errors import LocalEntryNotFoundError
+    from huggingface_hub import errors as hub_errors
 
+    # every hub failure mode maps to the same FileNotFoundError contract
+    # the CLIs wrap: offline/uncached (LocalEntryNotFound), typo'd
+    # repo/file/revision (RepositoryNotFound/EntryNotFound/
+    # RevisionNotFound), auth walls (GatedRepo), and transport errors
+    # (HfHubHTTPError). getattr-guarded: the error surface varies across
+    # huggingface_hub versions.
+    failure_types = tuple(
+        t for t in (
+            getattr(hub_errors, name, None)
+            for name in (
+                "LocalEntryNotFoundError",
+                "RepositoryNotFoundError",
+                "EntryNotFoundError",
+                "RevisionNotFoundError",
+                "GatedRepoError",
+                "HfHubHTTPError",
+            )
+        )
+        if t is not None
+    )
     try:
         return hf_hub_download(
             repo_id=repo_id,
@@ -107,9 +130,10 @@ def resolve_weights(
             revision=revision,
             cache_dir=cache_dir,
         )
-    except LocalEntryNotFoundError as exc:
+    except failure_types as exc:
         raise FileNotFoundError(
-            f"cannot download {repo_id}/{filename} from the HF hub (no "
-            f"network or not cached). Pass a local file instead, e.g. "
-            f"--weights /path/to/{filename.rsplit('/', 1)[-1]}"
+            f"cannot download {repo_id}/{filename} from the HF hub "
+            f"({type(exc).__name__}: no network, not cached, or a bad "
+            f"repo/file/revision in {spec!r}). Pass a local file instead, "
+            f"e.g. --weights /path/to/{filename.rsplit('/', 1)[-1]}"
         ) from exc

@@ -180,6 +180,26 @@ def bench_e2e(extractor, n_videos: int = 4, frames_per_video: int = 640):
         return record
 
 
+def _mgfn_state(model_overrides=None):
+    """Un-timed reference-scale MGFN TrainState — the scorer the eval and
+    serving benches need when the train bench is skipped or failed."""
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    _, model = build_model("mgfn", **(model_overrides or {}))
+    example = jnp.zeros((2, 10, 32, model.config.channels + 1), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        example,
+        train=True,
+    )
+    return TrainState.create(model, variables, adam_with_l2(1e-5))
+
+
 def bench_train_step(
     steps: int = 10,
     bags: int = 16,
@@ -551,6 +571,16 @@ def main() -> None:
             record["train_step_ms_bf16"] = bf16_rec["train_step_ms"]
         except Exception as exc:
             print(f"warning: train bench failed: {exc}", file=sys.stderr)
+    if trained_state is None and (
+        "--no-eval" not in sys.argv or "--no-serving" not in sys.argv
+    ):
+        # --no-eval / --no-serving are independent of --no-train: build an
+        # un-timed scorer state so those sections still run
+        try:
+            trained_state = _mgfn_state()
+        except Exception as exc:
+            print(f"warning: scorer state build failed: {exc}",
+                  file=sys.stderr)
     if trained_state is not None and "--no-eval" not in sys.argv:
         try:
             record.update(bench_eval(trained_state))

@@ -166,9 +166,13 @@ def build_scorer(args):
             convert_sultani_state_dict,
         )
 
-        state_dict = torch.load(
-            resolve_weights(args.torch_weights), map_location="cpu"
-        )
+        try:
+            resolved = resolve_weights(args.torch_weights)
+        except FileNotFoundError as exc:
+            # hub fetch failed: user error, not a traceback (same contract
+            # as extract_features.py's --weights)
+            raise SystemExit(str(exc))
+        state_dict = torch.load(resolved, map_location="cpu")
         if isinstance(state_dict, dict) and "state_dict" in state_dict:
             state_dict = state_dict["state_dict"]
         if model_name == "rtfm":
@@ -758,9 +762,12 @@ def main(argv=None) -> None:
     # fail fast: --stream both builds two extractors from this one tree
     # (the flow stream's 2-channel stem bootstraps from the RGB weights
     # inside FeatureExtractor)
-    i3d_variables = load_weights(
-        args.i3d_weights, args.i3d_model, flag="--i3d-weights"
-    )
+    try:
+        i3d_variables = load_weights(
+            args.i3d_weights, args.i3d_model, flag="--i3d-weights"
+        )
+    except FileNotFoundError as exc:
+        raise SystemExit(str(exc))  # hub fetch failed: user error
 
     extractor = make_extractor("rgb" if stream != "flow" else "flow")
     flow_extractor = make_extractor("flow") if stream == "both" else None

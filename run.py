@@ -268,6 +268,7 @@ def main(argv=None) -> None:
 
     from anomaly_detection_on_video_tpu.data import build_feature_dataset
     from anomaly_detection_on_video_tpu.training import VideoAnomalyDetectionRunner
+    from anomaly_detection_on_video_tpu.training.runner import DataConfigError
     from anomaly_detection_on_video_tpu.training.checkpoints import TopKCheckpointer
     from anomaly_detection_on_video_tpu.training.loggers import (
         ConsoleLogger,
@@ -496,9 +497,10 @@ def main(argv=None) -> None:
                 else tuple(trainer_cfg.get("preempt_signals") or ())
             ),
         )
-    except ValueError as exc:
-        # e.g. batch_size exceeding the dataset: a config mistake should
-        # read like a CLI error, not a traceback
+    except DataConfigError as exc:
+        # pre-flight config mistakes (e.g. batch_size exceeding the
+        # dataset) read like a CLI error; any other exception mid-training
+        # keeps its full traceback for debugging
         raise SystemExit(f"data error: {exc}")
     if result is not None and is_primary:
         print(f"final valid/rec_auc={result.rec_auc:.4f} valid/pr_auc={result.pr_auc:.4f}")

@@ -137,3 +137,27 @@ def test_extract_cli_accepts_hub_spec_and_network_default(tmp_path, monkeypatch)
     assert seen["weights"] == (
         "hf://jinmang2/test_video_fe/converted_ref_i3d.pt"
     )
+
+
+def test_resolve_online_failures_map_to_clean_error(monkeypatch):
+    """Typo'd repo/file/revision and auth walls (online failure modes) must
+    map to the same FileNotFoundError the CLIs wrap — not escape as raw
+    huggingface_hub tracebacks."""
+    import huggingface_hub
+    from huggingface_hub import errors as hub_errors
+
+    for name in ("RepositoryNotFoundError", "EntryNotFoundError",
+                 "RevisionNotFoundError", "GatedRepoError"):
+        exc_type = getattr(hub_errors, name, None)
+        if exc_type is None:
+            continue
+
+        def fail(**kw):
+            try:
+                raise exc_type("nope")
+            except TypeError:  # some hub errors need a response arg
+                pytest.skip(f"{name} not constructible standalone")
+
+        monkeypatch.setattr(huggingface_hub, "hf_hub_download", fail)
+        with pytest.raises(FileNotFoundError, match="bad repo"):
+            resolve_weights("hf://org/nonexistent/w.pt")

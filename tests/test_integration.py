@@ -840,3 +840,40 @@ def test_run_cli_multirun(tmp_path):
         # the checkpoint dir was set on the CLI so hparams land there
         assert not os.path.isdir(os.path.join(j["dir"], "checkpoints"))
     assert os.path.isfile(tmp_path / "unused-ckpt" / "hparams.json")
+
+
+def test_run_cli_oversized_batch_is_clean_error(tmp_path):
+    """batch_size exceeding the dataset maps to a one-line `data error:`
+    through run.py (runner.DataConfigError), not a traceback — and other
+    ValueErrors mid-training keep their tracebacks (the except is narrow)."""
+    seg_dir = tmp_path / "segments"
+    test_dir = tmp_path / "test"
+    seg_dir.mkdir()
+    test_dir.mkdir()
+    rng = np.random.RandomState(0)
+    gt = {}
+    for i in range(2):
+        for prefix in ("Normal_", "Abuse"):
+            name = f"{prefix}{i:03d}_x264_i3d.npy"
+            np.save(seg_dir / name, rng.randn(10, 8, 32).astype(np.float32))
+            np.save(test_dir / name, rng.randn(2, 10, 32).astype(np.float32))
+            gt[name[:-8]] = [0.0 if prefix == "Normal_" else 1.0] * 32
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "runner=mgfn",
+         f"data.train_path={seg_dir}",
+         f"data.test_path={test_dir}",
+         f"data.ground_truth_path={gt_path}",
+         "data.batch_size=16",
+         "runner.model_config.channels=32",
+         "runner.model_config.dims=[8,8,16]",
+         "runner.model_config.depths=[1,1,1]",
+         "runner.model_config.dim_head=4",
+         "trainer.log_path="],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600,
+    )
+    assert result.returncode != 0
+    assert "data error: batch_size=16 exceeds" in result.stderr
+    assert "Traceback" not in result.stderr
