@@ -81,6 +81,7 @@ class FeatureExtractor:
         flow_backend: Optional[str] = None,
         quantize: bool = False,
         crops: str = "ten",
+        adaptive_groups: bool = False,
     ):
         if stream not in ("rgb", "flow"):
             raise ValueError(f"stream must be rgb or flow, got {stream!r}")
@@ -134,6 +135,11 @@ class FeatureExtractor:
         else:
             self.group_clips = max(1, batch // self.n_crops) * n_shards
         self.batch = self.group_clips * self.n_crops
+        self.n_shards = n_shards
+        # exact-fit serving mode: per-request group sizes from a power-of-
+        # two ladder capped at group_clips (see _group_for). Off by default:
+        # bulk extraction wants one big fixed shape.
+        self.adaptive_groups = adaptive_groups
         self.frames_per_clip = frames_per_clip
         self.resize = resize
         self.cropsize = cropsize
@@ -157,12 +163,25 @@ class FeatureExtractor:
         self._build_pipeline()
 
     def _build_pipeline(self) -> None:
+        self._resize, self._forward, self._extract = self._make_pipeline(
+            self.group_clips
+        )
+        # adaptive-serving pipelines (one per ladder group size,
+        # _group_for) build lazily; the cache resets here so a model
+        # rebuild (int8 calibration re-jit, _apply_scales) drops programs
+        # compiled against the previous model
+        self._pipelines = {self.group_clips: self._extract}
+
+    def _make_pipeline(self, group_clips: int):
+        """Build (resize, forward, extract) jits for one group size."""
         from ..ops.gtransforms import center_crop, standardize, ten_crop
         from ..ops.resize import (
             resize_bilinear_exact,
             resize_bilinear_fast,
             short_side_size,
         )
+
+        batch = group_clips * self.n_crops
 
         mesh = self.mesh
         use_pallas_crop = self._use_pallas_crop
@@ -179,7 +198,7 @@ class FeatureExtractor:
             out_h, out_w = short_side_size(
                 frames.shape[1], frames.shape[2], self.resize
             )
-            fpc, gc = self.frames_per_clip, self.group_clips
+            fpc, gc = self.frames_per_clip, group_clips
             n_groups = frames.shape[0] // (gc * fpc)
             resized = resize_fn(frames, out_h, out_w)  # uint8
             return resized.reshape(n_groups, gc, fpc, out_h, out_w, self.channels)
@@ -190,7 +209,7 @@ class FeatureExtractor:
             loop-padded on host so every clip is a contiguous equal-length
             frame run — no gathers. The 10-crop float expansion (x40 bytes
             vs uint8) exists only per micro-batch inside the scan body."""
-            fpc, gc = self.frames_per_clip, self.group_clips
+            fpc, gc = self.frames_per_clip, group_clips
             n_groups = grouped.shape[0]
 
             def body(frames_g):
@@ -222,7 +241,7 @@ class FeatureExtractor:
                     # (10, gc, ...) -> (gc, 10, ...) -> batch (gc * 10)
                     x = jnp.transpose(x, (1, 0, 2, 3, 4, 5))
                     x = x.reshape(
-                        self.batch, fpc, self.cropsize, self.cropsize, self.channels
+                        batch, fpc, self.cropsize, self.cropsize, self.channels
                     )
                 return self.model.apply(variables, x).reshape(gc, 10, -1)
 
@@ -242,11 +261,9 @@ class FeatureExtractor:
         def _extract(variables, frames):
             return _forward(variables, _resize(frames))
 
-        self._extract = _extract
-        # exposed for cost analysis (bench.py computes MFU from the compiled
-        # forward's XLA FLOP count) — not part of the extraction API
-        self._forward = _forward
-        self._resize = _resize
+        # _forward/_resize are exposed for cost analysis (bench.py computes
+        # MFU from the compiled forward's XLA FLOP count) — not extraction API
+        return _resize, _forward, _extract
 
     def _calibrate(self, frames: np.ndarray) -> None:
         """Calibrate int8 activation scales on the first real chunk.
@@ -388,7 +405,35 @@ class FeatureExtractor:
             chunk = transform(chunk)
         self._calibrate(chunk)
 
-    def pad_frames(self, frames: np.ndarray) -> np.ndarray:
+    def _group_for(self, n_clips: int) -> int:
+        """Group size for a request of ``n_clips`` clips.
+
+        Fixed mode: always ``group_clips`` (bulk extraction — one compiled
+        shape, padding amortized over full groups). Adaptive mode (serving,
+        ``infer.py``): the smallest power-of-two ladder rung that fits the
+        request, capped at ``group_clips`` — an 8-clip request runs in an
+        8-clip group instead of paying a full 60-clip group's transfer and
+        FLOPs (on the axon tunnel's ~38 MB/s h2d that padding alone is
+        ~15 s of measured "latency"). The ladder bounds distinct compiled
+        shapes to log2(cap) per resolution; with a mesh, rungs stay
+        multiples of the shard count so the clip axis still shards evenly.
+        """
+        if not self.adaptive_groups or n_clips >= self.group_clips:
+            return self.group_clips
+        per_shard = -(-n_clips // self.n_shards)
+        rung = 1 << max(0, per_shard - 1).bit_length()
+        return min(self.n_shards * rung, self.group_clips)
+
+    def _pipeline_for(self, group_clips: int):
+        extract = self._pipelines.get(group_clips)
+        if extract is None:
+            extract = self._make_pipeline(group_clips)[2]
+            self._pipelines[group_clips] = extract
+        return extract
+
+    def pad_frames(
+        self, frames: np.ndarray, group_clips: Optional[int] = None
+    ) -> np.ndarray:
         """Host-side loop-pad + group-pad of the raw uint8 frames.
 
         Tail frames tile to a full clip (LoopPad semantics,
@@ -397,7 +442,8 @@ class FeatureExtractor:
         the last clip (results dropped by the caller). uint8 memcpy — cheap
         relative to decode.
         """
-        fpc, gc = self.frames_per_clip, self.group_clips
+        fpc = self.frames_per_clip
+        gc = group_clips or self.group_clips
         n_frames = frames.shape[0]
         n_clips = (n_frames - 1) // fpc + 1
         tail = n_frames - (n_clips - 1) * fpc
@@ -432,14 +478,14 @@ class FeatureExtractor:
         if self._needs_calibration:
             self._calibrate(frames)
         n_clips = (frames.shape[0] - 1) // self.frames_per_clip + 1
-        padded = self.pad_frames(frames)
+        gc = self._group_for(n_clips)
+        padded = self.pad_frames(frames, gc)
+        extract = self._pipeline_for(gc)
         if self._dispatch_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._dispatch_pool = ThreadPoolExecutor(max_workers=1)
-        future = self._dispatch_pool.submit(
-            self._extract, self.variables, padded
-        )
+        future = self._dispatch_pool.submit(extract, self.variables, padded)
         return future, n_clips
 
     @staticmethod

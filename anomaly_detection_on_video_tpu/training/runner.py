@@ -362,6 +362,7 @@ def evaluate(
     eval_step=None,
     batch_videos: int = 1,
     pad_groups: bool = False,
+    prefetch_assembly: bool = True,
 ) -> "EvalResult":
     """Frame-level ROC/PR AUC over the test set (src/runner.py:62-79).
 
@@ -410,27 +411,41 @@ def evaluate(
         for k, item in enumerate(group):
             per_video[item["filename"]] = scores[k, : lengths[k], 0]
 
-    for bucket, items in buckets.items():
-        for start in range(0, len(items), batch_videos):
-            group = items[start : start + batch_videos]
-            n_group = len(group)
-            n_rows = batch_videos if pad_groups else n_group
-            feats = np.zeros(
-                (n_rows, 10, bucket, group[0]["feature"].shape[3]), np.float32
-            )
-            lengths = np.zeros((n_rows,), np.int32)
-            for k in range(n_rows):
-                item = group[min(k, n_group - 1)]  # pad rows repeat the last
-                n_clips = item["feature"].shape[2]
-                feats[k, :, :n_clips] = item["feature"][0]
-                lengths[k] = n_clips
-            scores = eval_step(
-                state.variables, state.apply_fn,
-                jnp.asarray(feats), jnp.asarray(lengths),
-            )
-            pending.append((group, lengths, scores))
-            if len(pending) > 2:
-                materialize(pending.pop(0))
+    def assemble():
+        """Yield (group, lengths, feats) host batches, serial order."""
+        for bucket, items in buckets.items():
+            for start in range(0, len(items), batch_videos):
+                group = items[start : start + batch_videos]
+                n_group = len(group)
+                n_rows = batch_videos if pad_groups else n_group
+                feats = np.zeros(
+                    (n_rows, 10, bucket, group[0]["feature"].shape[3]),
+                    np.float32,
+                )
+                lengths = np.zeros((n_rows,), np.int32)
+                for k in range(n_rows):
+                    item = group[min(k, n_group - 1)]  # pad rows repeat last
+                    n_clips = item["feature"].shape[2]
+                    feats[k, :, :n_clips] = item["feature"][0]
+                    lengths[k] = n_clips
+                yield group, lengths, feats
+
+    # host assembly is the other serial cost (measured: the eval path is
+    # host-bound, docs/ROOFLINE.md eval roofline): prefetch assembles the
+    # next groups on a worker thread while this thread dispatches and
+    # waits on readbacks. Order-preserving, so scores stay bit-identical
+    # (prefetch_assembly=False runs the serial order for A/B tests).
+    group_iter = assemble()
+    if prefetch_assembly:
+        group_iter = prefetch(group_iter, depth=2)
+    for group, lengths, feats in group_iter:
+        scores = eval_step(
+            state.variables, state.apply_fn,
+            jnp.asarray(feats), jnp.asarray(lengths),
+        )
+        pending.append((group, lengths, scores))
+        if len(pending) >= 2:
+            materialize(pending.pop(0))
     for entry in pending:
         materialize(entry)
 
@@ -914,6 +929,11 @@ class VideoAnomalyDetectionRunner:
                 if stop_requested():
                     stop_signal["stopped"] = True
                     break
+            # the max_steps / preemption breaks above abandon the iterator
+            # mid-epoch: close() it deterministically so the prefetch worker
+            # stops loading now rather than at GC (matters on
+            # non-refcounting interpreters); no-op when exhausted
+            group_iter.close()
             if stop_signal.get("stopped"):
                 # graceful preemption: skip eval (the grace period is short),
                 # persist the exact step reached, and leave cleanly — resume

@@ -101,14 +101,21 @@ def resolve_weights(
     repo_id, revision, filename = parse_hub_spec(spec)
 
     from huggingface_hub import hf_hub_download  # network path, optional
-    from huggingface_hub import errors as hub_errors
 
     # every hub failure mode maps to the same FileNotFoundError contract
     # the CLIs wrap: offline/uncached (LocalEntryNotFound), typo'd
     # repo/file/revision (RepositoryNotFound/EntryNotFound/
     # RevisionNotFound), auth walls (GatedRepo), and transport errors
-    # (HfHubHTTPError). getattr-guarded: the error surface varies across
-    # huggingface_hub versions.
+    # (HfHubHTTPError). Guarded end to end: older huggingface_hub versions
+    # have no `errors` module at all (exceptions lived in .utils), so the
+    # import itself is try/excepted, and each name is getattr-guarded.
+    try:
+        from huggingface_hub import errors as hub_errors
+    except ImportError:  # pre-errors-module versions
+        try:
+            from huggingface_hub import utils as hub_errors
+        except ImportError:
+            hub_errors = None
     failure_types = tuple(
         t for t in (
             getattr(hub_errors, name, None)
@@ -121,8 +128,8 @@ def resolve_weights(
                 "HfHubHTTPError",
             )
         )
-        if t is not None
-    )
+        if hub_errors is not None and t is not None
+    ) or (FileNotFoundError,)
     try:
         return hf_hub_download(
             repo_id=repo_id,

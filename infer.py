@@ -172,7 +172,7 @@ def build_scorer(args):
             # hub fetch failed: user error, not a traceback (same contract
             # as extract_features.py's --weights)
             raise SystemExit(str(exc))
-        state_dict = torch.load(resolved, map_location="cpu")
+        state_dict = torch.load(resolved, map_location="cpu", weights_only=True)
         if isinstance(state_dict, dict) and "state_dict" in state_dict:
             state_dict = state_dict["state_dict"]
         if model_name == "rtfm":
@@ -478,6 +478,16 @@ def main(argv=None) -> None:
                              "path (calibrated on the first video's chunk, "
                              "~1e-5 feature cosine error)")
     parser.add_argument("--batch", type=int, default=240)
+    parser.add_argument("--group-mode", default="adaptive",
+                        choices=["adaptive", "fixed"],
+                        help="extraction group sizing: 'adaptive' (default) "
+                             "sizes each request's device group to the "
+                             "video via a power-of-two ladder capped at "
+                             "--batch — a short serving request no longer "
+                             "pays a full fixed group's padding (transfer + "
+                             "FLOPs); 'fixed' always uses the --batch-"
+                             "derived group (bulk scoring of long videos: "
+                             "one compiled shape)")
     parser.add_argument("--crops", default="ten", choices=["ten", "center"],
                         help="'ten' = the reference ten-crop protocol; "
                              "'center' = serving mode, one center crop per "
@@ -598,6 +608,21 @@ def main(argv=None) -> None:
             "docs/ROOFLINE.md.",
             file=sys.stderr,
         )
+    if args.crops == "center":
+        # the serving protocol trades accuracy for its ~8x throughput: on
+        # the synthetic multi-seed measurement (scripts/int8_e2e.py,
+        # docs/int8_e2e.json) center-crop costs AUC vs the reference
+        # ten-crop eval protocol — an order of magnitude more than int8
+        # does. Scorers are trained on ten-crop features; center-crop
+        # scores only crop row 4.
+        print(
+            "note: --crops center is the throughput serving mode; it "
+            "scores ONE center crop per clip and measurably costs accuracy "
+            "vs the reference ten-crop protocol (multi-seed AUC deltas: "
+            "docs/int8_e2e.json protocol_cost; docs/ROOFLINE.md). Use "
+            "--crops ten where accuracy matters more than latency.",
+            file=sys.stderr,
+        )
 
     videos = find_videos(args.videos) if args.videos else []
     if not videos and not args.watch and args.serve is None and not args.export:
@@ -678,6 +703,7 @@ def main(argv=None) -> None:
             mesh=mesh,
             stream=s,
             flow_backend=args.flow_backend if s == "flow" else None,
+            adaptive_groups=args.group_mode == "adaptive",
         )
 
     # scorer first: its checkpoint/weights validation must fail fast,

@@ -85,6 +85,65 @@ def run_one(model_name: str, seed: int, epochs: int = EPOCHS):
     return cap
 
 
+def run_full_scale_reference_hparams(seed: int, epochs: int = 8):
+    """MGFN at FULL reference scale and hyperparameters: dims 64/128/1024,
+    2048-d features, Adam lr=1e-3 wd=5e-4 (configs/runner/default.yaml:5-7),
+    batch 16 per class (configs/data/default.yaml:1), no grad clip.
+
+    Records the honest outcome — the per-epoch AUC curve, the final loss,
+    and whether training diverged to nan (on synthetic/random-I3D feature
+    statistics it historically does; scripts/dynamics_ab.py shows torch
+    does the same on the same data, so divergence here is a property of
+    the objective at this operating point, not of this rebuild).
+    """
+    from anomaly_detection_on_video_tpu.data.synthetic import (
+        make_synthetic_eval,
+        make_synthetic_train,
+    )
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import (
+        VideoAnomalyDetectionRunner,
+    )
+
+    normal, abnormal = make_synthetic_train(seed, dim=2048)
+    eval_ds = make_synthetic_eval(seed, dim=2048)
+    _, model = build_model("mgfn")  # full reference config
+    cap = Capture()
+    runner = VideoAnomalyDetectionRunner(
+        model,
+        optimizer_cfg={"learning_rate": 1e-3, "weight_decay": 5e-4},
+        loggers=[cap],
+        seed=seed,
+    )
+    diverged_at = None
+    error = None
+    try:
+        runner.fit(
+            {"normal": normal, "abnormal": abnormal},
+            valid_dataset=eval_ds,
+            max_epochs=epochs,
+            batch_size=16,
+            shuffle=True,
+        )
+    except Exception as exc:  # record the crash, don't hide it: nan scores
+        error = f"{type(exc).__name__}: {exc}"  # can abort eval (roc_auc)
+    losses = cap.loss
+    for i, loss_val in enumerate(losses):
+        if not np.isfinite(loss_val):
+            diverged_at = i
+            break
+    return {
+        "rec_auc": cap.auc,
+        "train_loss_epoch": losses,
+        "diverged_at_epoch": diverged_at,
+        "error": error,
+        "finite": (
+            diverged_at is None and error is None
+            and all(np.isfinite(losses))
+        ),
+    }
+
+
 def main() -> None:
     # the image pins JAX_PLATFORMS=axon; env vars alone cannot force CPU
     # (same bootstrap as tests/conftest.py / __graft_entry__.py)
@@ -116,11 +175,41 @@ def main() -> None:
         }
         for m in MODELS
     }
+    # full-scale run at the reference's exact hyperparameters (VERDICT r4
+    # next-round #1): the outcome — including divergence — is the record
+    full_scale = {}
+    for seed in SEEDS:
+        full_scale[str(seed)] = run_full_scale_reference_hparams(seed)
+        out = full_scale[str(seed)]
+        print(
+            f"full-scale reference-hparams seed {seed}: "
+            f"finite={out['finite']} "
+            f"diverged_at_epoch={out['diverged_at_epoch']} "
+            f"auc={out['rec_auc'][-1] if out['rec_auc'] else None}",
+            flush=True,
+        )
+
     payload = {
         "config": {"dim": DIM, "seeds": list(SEEDS), "epochs": EPOCHS,
                    "models": {k: dict(v) for k, v in MODELS.items()}},
         "summary": summary,
         "curves": results,
+        "reference_hparams_full_scale": {
+            "config": {
+                "model": "mgfn (reference dims 64/128/1024, 2048-d)",
+                "learning_rate": 1e-3,
+                "weight_decay": 5e-4,
+                "batch_size": 16,
+                "epochs": 8,
+                "grad_clip": None,
+                "data": "structured synthetic bags, dim 2048",
+            },
+            "per_seed": full_scale,
+            "cross_framework_verdict": "see docs/dynamics_ab.json "
+            "(scripts/dynamics_ab.py): torch, from the same init on the "
+            "same batches, and tests/test_mgfn.py gradient/trajectory "
+            "parity at these exact hparams",
+        },
     }
     with open(os.path.join(docs, "convergence.json"), "w") as f:
         json.dump(payload, f, indent=1)

@@ -452,14 +452,18 @@ def main(argv=None):
     if args.mgfn_weights:
         # hf://org/repo/file fetches via the HF cache (src/i3d.py:354-359)
         mgfn_sd = torch.load(
-            resolve_weights(args.mgfn_weights), map_location="cpu"
+            resolve_weights(args.mgfn_weights),
+            map_location="cpu",
+            weights_only=True,
         )
         if isinstance(mgfn_sd, dict) and "state_dict" in mgfn_sd:
             mgfn_sd = mgfn_sd["state_dict"]
 
     if args.videos and args.i3d_weights:
         i3d_sd = torch.load(
-            resolve_weights(args.i3d_weights), map_location="cpu"
+            resolve_weights(args.i3d_weights),
+            map_location="cpu",
+            weights_only=True,
         )
         if isinstance(i3d_sd, dict) and "model_state" in i3d_sd:
             i3d_sd = i3d_sd["model_state"]

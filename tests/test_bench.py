@@ -81,4 +81,5 @@ def test_bench_train_eval_serving_schema(tmp_path, monkeypatch):
     )
     assert serving["serving_latency_p50_ms"] > 0
     assert serving["serving_latency_p99_ms"] >= serving["serving_latency_p50_ms"]
+    assert serving["serving_latency_max_ms"] >= serving["serving_latency_p99_ms"]
     assert serving["serving_videos"] == 3

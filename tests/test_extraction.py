@@ -803,3 +803,45 @@ def test_two_stream_profile_stage_timers(rng, tmp_path):
     report = timer.report()
     for key in ("decode_wait", "host_transform", "device_extract"):
         assert key in report, report
+
+
+def test_adaptive_groups_equal_fixed(rng):
+    """Exact-fit serving groups (infer.py --group-mode adaptive) must be
+    bit-equal to the fixed-group pipeline: same resize, same crops, same
+    forward — only the pad-group size differs, and pad results are
+    dropped either way. batch 160 ten-crop -> 16-clip fixed groups, so
+    the 4-clip request genuinely takes the adaptive ladder (gc=4), not
+    the fixed cap."""
+    kw = dict(dtype=jnp.float32, batch=160, resize=64, cropsize=56)
+    fixed = FeatureExtractor(**kw)
+    adaptive = FeatureExtractor(
+        **kw, variables=fixed.variables, adaptive_groups=True
+    )
+    assert fixed.group_clips == 16
+    assert adaptive._group_for(4) == 4
+    # a request with a loop-padded tail and an exact-multiple request
+    for n_frames in (3 * 16 + 5, 4 * 16):
+        frames = rng.randint(0, 256, (n_frames, 64, 80, 3), np.uint8)
+        np.testing.assert_array_equal(
+            fixed.extract_frames(frames), adaptive.extract_frames(frames)
+        )
+
+
+def test_group_ladder_properties(extractor):
+    ex = FeatureExtractor(
+        dtype=jnp.float32, batch=240, variables=extractor.variables,
+        adaptive_groups=True,
+    )
+    cap = ex.group_clips  # 24 at ten-crop
+    # fits the request, power-of-two rungs, capped
+    for n_clips in range(1, cap + 5):
+        gc = ex._group_for(n_clips)
+        assert gc >= min(n_clips, cap)
+        assert gc <= cap
+        # single-shard rungs are powers of two, except the top rung which
+        # clamps to the (possibly non-pow2) cap
+        assert gc == cap or gc & (gc - 1) == 0
+    # distinct compiled shapes bounded by the ladder
+    assert len({ex._group_for(n) for n in range(1, 200)}) <= cap.bit_length() + 1
+    # fixed mode: always the cap
+    assert extractor._group_for(1) == extractor.group_clips

@@ -675,6 +675,143 @@ def test_infer_cli_http_serving(tmp_path):
 
 
 @pytest.mark.slow
+def test_infer_cli_http_serving_concurrent(tmp_path):
+    """--serve under actual concurrency (VERDICT r4 #6): N simultaneous
+    POSTs of distinct videos through the ThreadingHTTPServer. Every
+    response must carry ITS video's scores (the shared extractor +
+    score_lock must not bleed state across requests), no errors, and a
+    sequential re-POST must return bit-identical scores (determinism
+    under queueing)."""
+    import signal
+    import threading
+    import time
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from anomaly_detection_on_video_tpu.models import build_model
+    from anomaly_detection_on_video_tpu.training import TrainState
+    from anomaly_detection_on_video_tpu.training.checkpoints import (
+        TopKCheckpointer,
+    )
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+
+    # distinct lengths -> distinct n_clips per video: a swapped response
+    # would be caught by shape alone; distinct seeds catch value bleed
+    specs = {f"vid{i}.avi": (20 + 16 * i, 7 + i) for i in range(4)}
+    paths = {}
+    for name, (n_frames, seed) in specs.items():
+        paths[name] = tmp_path / name
+        write_video(paths[name], n_frames=n_frames, seed=seed)
+
+    _, model = build_model("sultani")
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 10, 32, 2049), jnp.float32),
+        train=True,
+    )
+    ckpt = TopKCheckpointer(str(tmp_path / "ckpts"))
+    ckpt.save(
+        step=1,
+        state=TrainState.create(model, variables, adam_with_l2()),
+        metric=0.5,
+    )
+    ckpt.wait()
+    ckpt.write_metadata({"model_name": "sultani", "model_config": {}})
+
+    outdir = tmp_path / "scores"
+    log_path = tmp_path / "server.log"
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(
+            [
+                sys.executable, os.path.join(REPO, "infer.py"),
+                "--checkpoint", str(tmp_path / "ckpts"),
+                "--outdir", str(outdir),
+                "--dtype", "float32",
+                "--crops", "center",
+                "--batch", "1",
+                "--serve", "0",
+                "--warmup", "4",
+            ],
+            env=ENV, cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
+        )
+    try:
+        deadline = time.time() + 600
+        port = None
+        while port is None:
+            assert proc.poll() is None, log_path.read_text()
+            assert time.time() < deadline, "server never came up"
+            for line in log_path.read_text().splitlines():
+                if line.startswith("serving on "):
+                    port = int(line.rsplit(":", 1)[1])
+            time.sleep(1)
+        base = f"http://127.0.0.1:{port}"
+
+        results, errors = {}, {}
+
+        def post(name):
+            req = urllib.request.Request(
+                f"{base}/score?name={name}",
+                data=paths[name].read_bytes(),
+                method="POST",
+            )
+            try:
+                results[name] = json.loads(
+                    urllib.request.urlopen(req, timeout=600).read()
+                )
+            except Exception as exc:  # surfaced in the main thread
+                errors[name] = exc
+
+        threads = [
+            threading.Thread(target=post, args=(name,)) for name in specs
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+
+        for name, (n_frames, _) in specs.items():
+            n_clips = -(-n_frames // 16)
+            res = results[name]
+            assert res["video"].endswith(name), (name, res["video"])
+            assert res["n_clips"] == n_clips, (name, res)
+            assert len(res["frame_scores"]) == n_clips * 16
+            assert all(0.0 <= s <= 1.0 for s in res["frame_scores"])
+        # distinct content must not produce identical score vectors
+        # (value-level cross-request bleed)
+        vectors = {
+            name: tuple(res["frame_scores"][:16])
+            for name, res in results.items()
+        }
+        assert len(set(vectors.values())) == len(vectors), vectors
+
+        # queueing is serialized by score_lock: all four scored, no errors
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["videos_scored"] == len(specs)
+        assert stats["errors"] == 0
+
+        # determinism under concurrency: a sequential re-POST of each
+        # video returns exactly the concurrent run's scores (idempotent
+        # cache path, and the concurrent scores were not corrupted)
+        for name in specs:
+            req = urllib.request.Request(
+                f"{base}/score?name={name}",
+                data=paths[name].read_bytes(),
+                method="POST",
+            )
+            again = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            assert again == results[name], name
+
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+@pytest.mark.slow
 def test_infer_cli_torch_weights(tmp_path):
     """infer.py with a converted torch MGFN state dict (HF layout)."""
     import torch

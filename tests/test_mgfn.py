@@ -23,9 +23,15 @@ from torch_oracles import OracleMGFN, oracle_losses, randomize_bn_stats
 
 def oracle_to_hf_state_dict(oracle):
     """Map the oracle's module names to the reference's HF-style names
-    (backbone.amplifier.*, backbone.layers.{s}.{b}.*, layer_norm, fc)."""
+    (backbone.amplifier.*, backbone.layers.{s}.{b}.*, layer_norm, fc).
+
+    Accepts a module (uses its state_dict) or a plain {name: tensor}
+    mapping — the latter lets per-parameter GRADIENTS ride the same
+    renaming + converter path (the converter is a pure re-layout —
+    transpose/reshape/rename — so it maps gradients linearly)."""
+    sd = oracle if isinstance(oracle, dict) else oracle.state_dict()
     out = {}
-    for key, val in oracle.state_dict().items():
+    for key, val in sd.items():
         if key.startswith(("to_tokens", "to_mag")):
             out["backbone.amplifier." + key] = val
         elif key.startswith("layers."):
@@ -224,4 +230,170 @@ def test_padded_masked_eval_matches_unpadded(oracle, variables, flax_model):
         np.asarray(out_pad.abnormal_scores),
         np.asarray(out_ref.abnormal_scores),
         atol=1e-6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-DYNAMICS parity: gradients and multi-step Adam trajectories vs
+# torch autograd + torch.optim.Adam at the REFERENCE hyperparameters
+# (lr=1e-3, weight_decay=5e-4 — configs/runner/default.yaml:5-7,
+# src/runner.py:53-59; gradient_clip_val is null in the reference trainer).
+# Loss-VALUE parity (above) does not cover the train step: these tests pin
+# the backward graph (grad flow through lax.top_k vs torch.topk's gather,
+# the BCE clamp, pairwise-distance eps) and the optimizer coupling
+# (torch Adam's L2-into-gradient == add_decayed_weights before adam).
+# Deterministic training numerics: BN in batch (train) mode both sides,
+# selection dropout off (rate 0 — the one train-mode op whose randomness
+# cannot be matched across frameworks).
+# ---------------------------------------------------------------------------
+
+
+# reduced-width config for the dynamics tests: full-width f64 runs cost
+# ~40 min of CPU here while covering the same graph — every stage, both
+# block types, the intermediates, BN, top-k selection, all losses, and
+# the optimizer coupling are width-independent
+_DYN = dict(dims=(32, 64, 128), depths=(2, 2, 2), channels=256, dim_head=16)
+
+
+def _fresh_train_pair():
+    """(torch oracle in train mode f64, flax model with dropout 0, f64
+    variables-as-numpy). Cast to jnp only INSIDE jax.enable_x64 — outside
+    it, jnp.asarray silently truncates to f32."""
+    torch.manual_seed(10)
+    oracle = OracleMGFN(types=("gb", "fb", "fb"), **_DYN)
+    randomize_bn_stats(oracle, seed=11)
+    oracle.double().train()
+    variables = convert_mgfn_state_dict(oracle_to_hf_state_dict(oracle))
+    model = MGFNForVideoAnomalyDetection(
+        MGFNConfig(dropout_rate=0.0, **_DYN)
+    )
+    return oracle, model, variables
+
+
+def _as_x64(variables):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), variables
+    )
+
+
+def _train_batch(seed, bs=4, t=16):
+    rng = np.random.RandomState(seed)
+    video = rng.randn(bs, 10, t, _DYN["channels"] + 1).astype(np.float64)
+    nlabels = np.zeros(bs // 2, dtype=np.float64)
+    alabels = np.ones(bs // 2, dtype=np.float64)
+    return video, nlabels, alabels
+
+
+def _torch_loss(oracle, video, nlabels, alabels):
+    out = oracle(torch.from_numpy(video), force_split=True)
+    return oracle_losses(
+        *out[:4],
+        torch.from_numpy(alabels), torch.from_numpy(nlabels),
+        out[4], video.shape[0],
+    )
+
+
+def _torch_grads_as_flax(oracle):
+    grads = {
+        name: param.grad.detach().clone()
+        for name, param in oracle.named_parameters()
+    }
+    return convert_mgfn_state_dict(oracle_to_hf_state_dict(grads))["params"]
+
+
+def _assert_trees_close(ours, golden, rtol, atol, what):
+    flat_o = jax.tree_util.tree_flatten_with_path(ours)[0]
+    flat_g = jax.tree_util.tree_flatten_with_path(golden)[0]
+    assert len(flat_o) == len(flat_g)
+    for (path, leaf_o), (_, leaf_g) in zip(flat_o, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(leaf_o), np.asarray(leaf_g), rtol=rtol, atol=atol,
+            err_msg=f"{what}: {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_gradients_match_torch_autograd_f64():
+    """Per-leaf dL/dθ after one training-mode forward/backward matches
+    torch autograd in f64 (train-mode BN numerics, dropout off)."""
+    oracle, model, variables = _fresh_train_pair()
+    video, nlabels, alabels = _train_batch(20)
+
+    _torch_loss(oracle, video, nlabels, alabels).backward()
+    golden = _torch_grads_as_flax(oracle)
+
+    with jax.enable_x64(True):
+        v64 = _as_x64(variables)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": v64["batch_stats"]},
+                jnp.asarray(video),
+                abnormal_labels=jnp.asarray(alabels),
+                normal_labels=jnp.asarray(nlabels),
+                force_split=True,
+                train=True,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"],
+            )
+            return out.loss
+
+        grads = jax.grad(loss_fn)(v64["params"])
+
+    _assert_trees_close(grads, golden, rtol=1e-8, atol=1e-10, what="grad")
+
+
+def test_adam_trajectory_matches_torch_f64():
+    """N=12 optimizer steps at the reference hparams (Adam lr=1e-3,
+    coupled L2 wd=5e-4, no grad clip): params AND BN running stats stay
+    in lockstep with torch through the production train step
+    (make_train_step's jit'd path, not a reimplementation)."""
+    from anomaly_detection_on_video_tpu.training.optim import adam_with_l2
+    from anomaly_detection_on_video_tpu.training.runner import (
+        TrainState,
+        make_train_step,
+    )
+
+    oracle, model, variables = _fresh_train_pair()
+    batches = [_train_batch(seed) for seed in (30, 31, 32)]
+    n_steps = 12
+
+    optimizer = torch.optim.Adam(
+        oracle.parameters(), lr=1e-3, weight_decay=5e-4
+    )
+    torch_losses = []
+    for i in range(n_steps):
+        video, nlabels, alabels = batches[i % len(batches)]
+        optimizer.zero_grad()
+        loss = _torch_loss(oracle, video, nlabels, alabels)
+        loss.backward()
+        optimizer.step()
+        torch_losses.append(float(loss.detach()))
+    golden = convert_mgfn_state_dict(oracle_to_hf_state_dict(oracle))
+
+    with jax.enable_x64(True):
+        state = TrainState.create(
+            model, _as_x64(variables), adam_with_l2(1e-3, 5e-4)
+        )
+        step_fn = make_train_step()
+        jax_losses = []
+        for i in range(n_steps):
+            video, nlabels, alabels = batches[i % len(batches)]
+            state, loss = step_fn(
+                state,
+                jnp.asarray(video),
+                jnp.asarray(nlabels),
+                jnp.asarray(alabels),
+                jax.random.PRNGKey(i),
+            )
+            jax_losses.append(float(loss))
+
+    # the production step reports its loss in f32 (runner.py loss_fn) —
+    # compare at f32 resolution; params below are the f64 signal
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-5)
+    _assert_trees_close(
+        state.params, golden["params"], rtol=1e-6, atol=1e-9, what="param"
+    )
+    _assert_trees_close(
+        state.batch_stats, golden["batch_stats"], rtol=1e-8, atol=1e-10,
+        what="batch_stat",
     )

@@ -302,6 +302,25 @@ def test_batched_eval_matches_single(rng):
     np.testing.assert_allclose(batched.rec_auc, single.rec_auc, atol=1e-6)
 
 
+def test_eval_prefetched_assembly_matches_serial(rng):
+    """Prefetching the eval group assembly (worker thread, depth 2) must be
+    bit-identical to serial assembly — it only reorders WHEN host batches
+    are built, never what they contain or their dispatch order."""
+    model, state = tiny_state(randomize=True)
+    ds = make_eval_dataset(rng, n_videos=7)
+    for batch_videos, pad_groups in ((1, False), (3, True)):
+        serial = evaluate(
+            state, ds, batch_videos=batch_videos, pad_groups=pad_groups,
+            prefetch_assembly=False,
+        )
+        pipelined = evaluate(
+            state, ds, batch_videos=batch_videos, pad_groups=pad_groups,
+            prefetch_assembly=True,
+        )
+        np.testing.assert_array_equal(pipelined.preds, serial.preds)
+        assert pipelined.rec_auc == serial.rec_auc
+
+
 def test_eval_result_figure(rng, tmp_path):
     model, state = tiny_state()
     result = evaluate(state, make_eval_dataset(rng))

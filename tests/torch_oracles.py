@@ -254,6 +254,7 @@ class OracleMGFN(nn.Module):
                  mag_ratio=0.1, k=3):
         super().__init__()
         self.mag_ratio, self.k = mag_ratio, k
+        self.channels = channels
         self.to_tokens = nn.Conv1d(channels, dims[0], 3, padding=1)
         self.to_mag = nn.Conv1d(1, dims[0], 3, padding=1)
         stages = []
@@ -271,7 +272,10 @@ class OracleMGFN(nn.Module):
     def forward(self, video, force_split=False):
         bs, ncrops, t, c = video.shape
         x = video.view(bs * ncrops, t, c).permute(0, 2, 1)
-        x_f = self.to_tokens(x[:, :2048]) + self.mag_ratio * self.to_mag(x[:, 2048:])
+        x_f = (
+            self.to_tokens(x[:, : self.channels])
+            + self.mag_ratio * self.to_mag(x[:, self.channels :])
+        )
         x = self.layers(x_f).permute(0, 2, 1)  # (bs*ncrops, t, f)
         x = self.layer_norm(x)
         scores = torch.sigmoid(self.fc(x))
