@@ -170,9 +170,13 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=N_STEPS)
     parser.add_argument("--batch-per-class", type=int, default=BATCH)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default=None,
+                        help="output JSON (default docs/dynamics_ab.json)")
     parser.add_argument(
-        "--profiles", nargs="+", default=["gauss", "i3dlike"],
+        "--profiles", nargs="*", default=["gauss", "i3dlike"],
         choices=["gauss", "i3dlike"],
+        help="synthetic profiles to run (pass none with --features to run "
+             "only the extracted-features A/B)",
     )
     parser.add_argument(
         "--features", default=None, metavar="NPZ",
@@ -287,7 +291,7 @@ def main() -> None:
         else "MISMATCH: frameworks disagree at some operating point — "
         "investigate before trusting full-scale training"
     )
-    out_path = os.path.join(REPO, "docs", "dynamics_ab.json")
+    out_path = args.out or os.path.join(REPO, "docs", "dynamics_ab.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v["frameworks_agree"] for k, v in report["runs"].items()}))
